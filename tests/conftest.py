@@ -1,0 +1,18 @@
+import os
+import sys
+
+# Tests run on a virtual multi-device CPU mesh: fast, deterministic, and lets
+# sharding tests exercise 8 devices without TPU hardware. Must be set before
+# jax import anywhere in the test process.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "helpers"))
