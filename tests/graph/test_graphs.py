@@ -1,0 +1,211 @@
+import pickle
+
+import numpy as np
+import pytest
+
+from pybnesian_tpu.graph import (
+    ConditionalDag,
+    ConditionalUndirectedGraph,
+    Dag,
+    DirectedGraph,
+    PartiallyDirectedGraph,
+    UndirectedGraph,
+)
+
+
+def test_directed_basic():
+    g = DirectedGraph(["a", "b", "c"], [("a", "b"), ("b", "c")])
+    assert g.num_nodes() == 3
+    assert g.num_arcs() == 2
+    assert g.has_arc("a", "b")
+    assert not g.has_arc("b", "a")
+    assert g.parents("c") == ["b"]
+    assert g.children("a") == ["b"]
+    assert set(g.roots()) == {"a"}
+    assert set(g.leaves()) == {"c"}
+    g.flip_arc("a", "b")
+    assert g.has_arc("b", "a")
+
+
+def test_index_stability_after_removal():
+    g = DirectedGraph(["a", "b", "c", "d"])
+    ib = g.index("b")
+    id_ = g.index("d")
+    g.remove_node("c")
+    assert g.index("b") == ib
+    assert g.index("d") == id_
+    assert g.num_nodes() == 3
+    # free index reused
+    g.add_node("e")
+    assert g.index("e") == 2
+    assert set(g.nodes()) == {"a", "b", "d", "e"}
+
+
+def test_remove_node_clears_arcs():
+    g = DirectedGraph(["a", "b", "c"], [("a", "b"), ("b", "c")])
+    g.remove_node("b")
+    assert g.num_arcs() == 0
+    assert g.parents("c") == []
+
+
+def test_undirected():
+    g = UndirectedGraph.Complete(["a", "b", "c", "d"])
+    assert g.num_edges() == 6
+    assert set(g.neighbors("a")) == {"b", "c", "d"}
+    g.remove_edge("a", "b")
+    assert g.num_edges() == 5
+    assert not g.has_edge("a", "b")
+    assert g.has_edge("b", "a") is False
+
+
+def test_dag_cycle_protection():
+    g = Dag(["a", "b", "c"], [("a", "b"), ("b", "c")])
+    assert not g.can_add_arc("c", "a")
+    with pytest.raises(ValueError):
+        g.add_arc("c", "a")
+    assert g.can_add_arc("a", "c")
+    assert g.can_flip_arc("a", "b")
+    # flipping a->b while a->b->c and a->c would create cycle? a->c, flip a->b
+    g.add_arc("a", "c")
+    assert g.can_flip_arc("b", "c")
+    # flip a->b is legal: no alternative path a⇝b besides the direct arc
+    assert g.can_flip_arc("a", "b")
+    # but flip a->c is illegal: path a->b->c remains, so c->a closes a cycle
+    assert not g.can_flip_arc("a", "c")
+
+
+def test_dag_flip_semantics():
+    g = Dag(["a", "b", "c"], [("a", "b"), ("b", "c"), ("a", "c")])
+    # flip a->c: c->a would close cycle via a->b->c? path a⇝c without direct arc = a->b->c exists => cannot flip
+    assert not g.can_flip_arc("a", "c")
+    assert g.can_flip_arc("b", "c")
+
+
+def test_topological_sort():
+    g = Dag(["a", "b", "c", "d"], [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")])
+    order = g.topological_sort()
+    pos = {n: i for i, n in enumerate(order)}
+    for (s, t) in g.arcs():
+        assert pos[s] < pos[t]
+
+
+def test_has_path():
+    g = DirectedGraph(["a", "b", "c", "d"], [("a", "b"), ("b", "c")])
+    assert g.has_path("a", "c")
+    assert not g.has_path("c", "a")
+    assert not g.has_path("a", "d")
+
+
+def test_pdag_direct_undirect():
+    g = PartiallyDirectedGraph(["a", "b", "c"])
+    g.add_edge("a", "b")
+    g.direct("a", "b")
+    assert g.has_arc("a", "b")
+    assert not g.has_edge("a", "b")
+    g.undirect("a", "b")
+    assert g.has_edge("a", "b")
+    assert not g.has_arc("a", "b")
+    g.add_arc("b", "c")
+    g.direct("c", "b")
+    assert g.has_arc("c", "b")
+    assert not g.has_arc("b", "c")
+
+
+def test_pdag_to_dag_vstructure():
+    # v-structure a->c<-b must be preserved; extension of edge c-d exists
+    g = PartiallyDirectedGraph(["a", "b", "c", "d"])
+    g.add_arc("a", "c")
+    g.add_arc("b", "c")
+    g.add_edge("c", "d")
+    dag = g.to_dag()
+    assert dag.has_arc("a", "c")
+    assert dag.has_arc("b", "c")
+    # c-d must be oriented c->d to avoid creating a new v-structure
+    assert dag.has_arc("c", "d")
+
+
+def test_pdag_to_dag_impossible():
+    # the square a-b, b-c, c-d, d-a with v-structures blocking extension:
+    # use the classic no-extension PDAG: a->b, c->b, a-c (c-a must be directed
+    # without creating new v-structure at b... actually a-c any direction fine)
+    # Use 4-cycle of undirected edges with two opposing v-structures:
+    g = PartiallyDirectedGraph(["a", "b", "c", "d"])
+    g.add_arc("a", "b")
+    g.add_arc("c", "b")
+    g.add_arc("a", "d")
+    g.add_arc("c", "d")
+    g.add_edge("a", "c")
+    # a-c: a->c creates v at nothing... c has parent a? c->b and c->d exist.
+    # orienting a->c: check v-structure a->c<-? none. So extension exists.
+    dag = g.to_dag()
+    assert dag.is_dag()
+    assert dag.num_arcs() == 5
+
+
+def test_dag_to_pdag_chain_and_vstructure():
+    # chain a->b->c: all reversible → pdag has edges only
+    g = Dag(["a", "b", "c"], [("a", "b"), ("b", "c")])
+    pdag = g.to_pdag()
+    assert pdag.num_arcs() == 0
+    assert pdag.num_edges() == 2
+    # v-structure a->c<-b: compelled
+    g2 = Dag(["a", "b", "c"], [("a", "c"), ("b", "c")])
+    pdag2 = g2.to_pdag()
+    assert pdag2.num_arcs() == 2
+    assert pdag2.num_edges() == 0
+
+
+def test_dag_pdag_dag_roundtrip():
+    rng = np.random.default_rng(0)
+    names = [f"n{i}" for i in range(8)]
+    for _ in range(10):
+        dag = Dag(names)
+        for i in range(8):
+            for j in range(i + 1, 8):
+                if rng.random() < 0.25:
+                    dag.add_arc_unsafe(names[i], names[j])
+        assert dag.is_dag()
+        pdag = dag.to_pdag()
+        dag2 = pdag.to_dag()
+        # same skeleton and same v-structures => same CPDAG
+        pdag2 = dag2.to_pdag()
+        assert set(map(frozenset, pdag.edges())) == set(
+            map(frozenset, pdag2.edges())
+        )
+        assert set(pdag.arcs()) == set(pdag2.arcs())
+
+
+def test_conditional_dag():
+    g = ConditionalDag(["a", "b"], ["i1", "i2"])
+    assert g.num_nodes() == 2
+    assert g.num_interface_nodes() == 2
+    assert g.num_joint_nodes() == 4
+    assert set(g.interface_nodes()) == {"i1", "i2"}
+    g.add_arc("i1", "a")
+    with pytest.raises(ValueError):
+        g.add_arc("a", "i1")
+    g.add_arc("a", "b")
+    order = g.topological_sort()
+    assert order == ["a", "b"]
+    assert g.interface_arcs() == [("i1", "a")]
+    # roots: nodes whose parents are all interface
+    assert set(g.roots()) == {"a"}
+    ug = g.unconditional_graph()
+    assert ug.num_nodes() == 4
+
+
+def test_conditional_undirected_complete():
+    g = ConditionalUndirectedGraph.Complete(["a", "b"], ["i"])
+    # a-b, a-i, b-i but no i-i
+    assert g.num_edges() == 3
+
+
+def test_graph_pickle_roundtrip():
+    g = Dag(["a", "b", "c"], [("a", "b")])
+    g2 = pickle.loads(pickle.dumps(g))
+    assert g2.nodes() == g.nodes()
+    assert g2.arcs() == g.arcs()
+    cg = ConditionalDag(["a"], ["i"], [("i", "a")])
+    cg2 = pickle.loads(pickle.dumps(cg))
+    assert cg2.interface_nodes() == ["i"]
+    assert cg2.arcs() == [("i", "a")]
