@@ -1,0 +1,623 @@
+"""Bayesian-network model layer: type-policy objects × generic containers.
+
+Rebuild of reference models/BayesianNetwork.hpp (1,468 LoC):
+``BayesianNetworkType`` is a singleton policy object answering questions about
+homogeneity, default/compatible factor types, and arc legality
+(BayesianNetwork.hpp:224-301); ``BayesianNetwork`` is the generic container
+(reference ``BNGeneric<DagType>``) delegating structure to a
+:class:`~pybnesian_tpu.graph.Dag` and storing one CPD per node.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+from ..data import DataFrame
+from ..factors.base import Arguments, FactorType, UnknownFactorType
+from ..graph import ConditionalDag, Dag
+
+__all__ = [
+    "BayesianNetworkType",
+    "BayesianNetworkBase",
+    "BayesianNetwork",
+    "ConditionalBayesianNetwork",
+]
+
+
+class BayesianNetworkType:
+    """Policy singleton (reference models/BayesianNetwork.hpp:224-301)."""
+
+    _singleton = None
+
+    def __new__(cls, *args, **kwargs):
+        if cls._default_singleton() and cls._singleton is not None:
+            return cls._singleton
+        inst = super().__new__(cls)
+        if cls._default_singleton():
+            cls._singleton = inst
+        return inst
+
+    @classmethod
+    def _default_singleton(cls) -> bool:
+        return True
+
+    def __eq__(self, other) -> bool:
+        return type(self) is type(other)
+
+    def __ne__(self, other) -> bool:
+        return not self.__eq__(other)
+
+    def __hash__(self) -> int:
+        return hash(type(self))
+
+    # ------------------------------------------------------------- policy
+    def is_homogeneous(self) -> bool:
+        raise NotImplementedError
+
+    def default_node_type(self) -> FactorType:
+        """Single factor type of homogeneous networks."""
+        raise NotImplementedError
+
+    def data_default_node_type(self, df: DataFrame, variable: str):
+        """Priority list of factor types for a column, from data
+        (reference SemiparametricBN.hpp:43-55)."""
+        raise NotImplementedError
+
+    def compatible_node_type(self, model, variable: str, node_type: FactorType) -> bool:
+        return True
+
+    def can_have_arc(self, model, source: str, target: str) -> bool:
+        return True
+
+    def alternative_node_type(self, model, variable: str) -> list[FactorType]:
+        """Candidate alternative types for the ChangeNodeType operator
+        (reference SemiparametricBN.hpp:107-126)."""
+        return []
+
+    def requires_discrete_data(self) -> bool:
+        return False
+
+    def requires_continuous_data(self) -> bool:
+        return False
+
+    def new_bn(self, nodes) -> "BayesianNetwork":
+        return BayesianNetwork(self, nodes)
+
+    def new_cbn(self, nodes, interface_nodes) -> "ConditionalBayesianNetwork":
+        return ConditionalBayesianNetwork(self, nodes, interface_nodes)
+
+    def ToString(self) -> str:
+        return type(self).__name__
+
+    def __str__(self) -> str:
+        return self.ToString()
+
+    def __repr__(self) -> str:
+        return self.ToString()
+
+    def __reduce__(self):
+        if type(self)._default_singleton():
+            return (type(self), ())
+        return super().__reduce__()
+
+
+class BayesianNetworkBase:
+    """Shared surface of (conditional) Bayesian networks
+    (reference models/BayesianNetwork.hpp:29-145)."""
+
+    # subclasses set: self._type, self._graph, self._cpds, self._node_types
+
+    # ------------------------------------------------------------ structure
+    def graph(self):
+        return self._graph
+
+    def type(self) -> BayesianNetworkType:
+        return self._type
+
+    def num_nodes(self) -> int:
+        return self._graph.num_nodes()
+
+    def num_arcs(self) -> int:
+        return self._graph.num_arcs()
+
+    def nodes(self) -> list[str]:
+        return self._graph.nodes()
+
+    def arcs(self) -> list[tuple[str, str]]:
+        return self._graph.arcs()
+
+    def contains_node(self, name: str) -> bool:
+        return self._graph.contains_node(name)
+
+    def index(self, name: str) -> int:
+        return self._graph.index(name)
+
+    def name(self, idx: int) -> str:
+        return self._graph.name(idx)
+
+    def collapsed_index(self, name: str) -> int:
+        return self._graph.collapsed_index(name)
+
+    def parents(self, node) -> list[str]:
+        return self._graph.parents(node)
+
+    def children(self, node) -> list[str]:
+        return self._graph.children(node)
+
+    def num_parents(self, node) -> int:
+        return self._graph.num_parents(node)
+
+    def num_children(self, node) -> int:
+        return self._graph.num_children(node)
+
+    def has_arc(self, source, target) -> bool:
+        return self._graph.has_arc(source, target)
+
+    def has_path(self, source, target) -> bool:
+        return self._graph.has_path(source, target)
+
+    def add_node(self, name: str) -> int:
+        idx = self._graph.add_node(name)
+        if not self._type.is_homogeneous():
+            self._node_types.setdefault(name, UnknownFactorType())
+        return idx
+
+    def remove_node(self, node) -> None:
+        name = node if isinstance(node, str) else self._graph.name(node)
+        self._graph.remove_node(name)
+        self._cpds.pop(name, None)
+        self._node_types.pop(name, None)
+
+    def can_add_arc(self, source, target) -> bool:
+        s = source if isinstance(source, str) else self._graph.name(source)
+        t = target if isinstance(target, str) else self._graph.name(target)
+        return self._graph.can_add_arc(s, t) and self._type.can_have_arc(
+            self, s, t
+        )
+
+    def can_flip_arc(self, source, target) -> bool:
+        s = source if isinstance(source, str) else self._graph.name(source)
+        t = target if isinstance(target, str) else self._graph.name(target)
+        return self._graph.can_flip_arc(s, t) and self._type.can_have_arc(
+            self, t, s
+        )
+
+    def add_arc(self, source, target) -> None:
+        s = source if isinstance(source, str) else self._graph.name(source)
+        t = target if isinstance(target, str) else self._graph.name(target)
+        if not self._type.can_have_arc(self, s, t):
+            raise ValueError(
+                f"Arc {s} -> {t} is not allowed by {self._type.ToString()}"
+            )
+        self._graph.add_arc(s, t)
+
+    def add_arc_unsafe(self, source, target) -> None:
+        self._graph.add_arc_unsafe(source, target)
+
+    def remove_arc(self, source, target) -> None:
+        self._graph.remove_arc(source, target)
+
+    def flip_arc(self, source, target) -> None:
+        s = source if isinstance(source, str) else self._graph.name(source)
+        t = target if isinstance(target, str) else self._graph.name(target)
+        if not self._type.can_have_arc(self, t, s):
+            raise ValueError(
+                f"Arc {t} -> {s} is not allowed by {self._type.ToString()}"
+            )
+        self._graph.flip_arc(s, t)
+
+    # ----------------------------------------------------------- node types
+    def node_type(self, node) -> FactorType:
+        name = node if isinstance(node, str) else self._graph.name(node)
+        self._graph.index(name)  # existence check
+        if self._type.is_homogeneous():
+            return self._type.default_node_type()
+        return self._node_types.get(name, UnknownFactorType())
+
+    def node_types(self) -> dict:
+        return {n: self.node_type(n) for n in self._all_nodes()}
+
+    def set_node_type(self, node, node_type: FactorType) -> None:
+        name = node if isinstance(node, str) else self._graph.name(node)
+        if self._type.is_homogeneous():
+            if node_type != self._type.default_node_type():
+                raise ValueError(
+                    f"Wrong factor type {node_type} for homogeneous network "
+                    f"{self._type.ToString()}"
+                )
+            return
+        if not self._type.compatible_node_type(self, name, node_type):
+            raise ValueError(
+                f"Factor type {node_type} not compatible with node {name} in "
+                f"{self._type.ToString()}"
+            )
+        old = self._node_types.get(name)
+        self._node_types[name] = node_type
+        if old is not None and old != node_type:
+            self._cpds.pop(name, None)
+
+    def underlying_node_type(self, df, node) -> FactorType:
+        """Concrete type after resolving UnknownFactorType from data
+        (reference BayesianNetwork.hpp underlying_node_type)."""
+        nt = self.node_type(node)
+        if nt == UnknownFactorType():
+            df = DataFrame.wrap(df)
+            name = node if isinstance(node, str) else self._graph.name(node)
+            defaults = self._type.data_default_node_type(df, name)
+            if not defaults:
+                raise ValueError(
+                    f"No default factor type for node {name} with data type "
+                    f"{df.col_dtype(name)}"
+                )
+            return defaults[0]
+        return nt
+
+    def set_unknown_node_types(self, df, type_blacklist=None) -> None:
+        df = DataFrame.wrap(df)
+        blacklist = type_blacklist or []
+        for n in self._all_nodes():
+            if self.node_type(n) == UnknownFactorType():
+                defaults = self._type.data_default_node_type(df, n)
+                chosen = None
+                for d in defaults:
+                    if not any(
+                        (bn == n and bt == d) for (bn, bt) in blacklist
+                    ):
+                        chosen = d
+                        break
+                if chosen is None:
+                    raise ValueError(
+                        f"All default factor types for node {n} are "
+                        "blacklisted"
+                    )
+                self._node_types[n] = chosen
+
+    def force_type_whitelist(self, type_whitelist) -> None:
+        for name, ftype in type_whitelist or []:
+            self.set_node_type(name, ftype)
+
+    def force_whitelist(self, arc_whitelist) -> None:
+        for (s, t) in arc_whitelist or []:
+            if not self.has_arc(s, t):
+                if self.has_arc(t, s):
+                    self.flip_arc(t, s)
+                else:
+                    self.add_arc(s, t)
+
+    def _all_nodes(self) -> list[str]:
+        return self._graph.nodes()
+
+    # ------------------------------------------------------------------ CPDs
+    def cpd(self, node):
+        name = node if isinstance(node, str) else self._graph.name(node)
+        cpd = self._cpds.get(name)
+        if cpd is None:
+            raise ValueError(f"CPD of variable '{name}' not added.")
+        return cpd
+
+    def add_cpds(self, cpds: Sequence) -> None:
+        for cpd in cpds:
+            name = cpd.variable()
+            if not self.contains_node(name):
+                raise ValueError(
+                    f"CPD variable '{name}' is not a node of the network"
+                )
+            if not self._type.is_homogeneous():
+                if not self._type.compatible_node_type(self, name, cpd.type()):
+                    raise ValueError(
+                        f"CPD type {cpd.type()} not compatible with node "
+                        f"{name}"
+                    )
+                self._node_types[name] = cpd.type()
+            else:
+                if cpd.type() != self._type.default_node_type():
+                    raise ValueError(
+                        f"CPD type {cpd.type()} invalid for homogeneous "
+                        f"network {self._type.ToString()}"
+                    )
+            self._cpds[name] = cpd
+
+    def fitted(self) -> bool:
+        for n in self._fit_nodes():
+            cpd = self._cpds.get(n)
+            if cpd is None or not cpd.fitted():
+                return False
+        return True
+
+    def _fit_nodes(self) -> list[str]:
+        return self.nodes()
+
+    def _must_construct_cpd(self, cpd, node_type, evidence) -> bool:
+        """(reference BayesianNetwork.hpp must_construct_cpd)."""
+        return (
+            cpd is None
+            or cpd.type() != node_type
+            or set(cpd.evidence()) != set(evidence)
+        )
+
+    def fit(self, df, construction_args: Arguments | None = None) -> None:
+        df = DataFrame.wrap(df)
+        args = construction_args or Arguments()
+        self._check_data_compat(df)
+        if not self._type.is_homogeneous():
+            self.set_unknown_node_types(df)
+        for n in self._fit_nodes():
+            node_type = self.underlying_node_type(df, n)
+            evidence = self.parents(n)
+            cpd = self._cpds.get(n)
+            a, kw = args.args(n, node_type)
+            if self._must_construct_cpd(cpd, node_type, evidence):
+                cpd = node_type.new_factor(self, n, evidence, *a, **kw)
+                cpd.fit(df)
+                self._cpds[n] = cpd
+            elif not cpd.fitted():
+                cpd.fit(df)
+
+    def _check_data_compat(self, df: DataFrame) -> None:
+        if self._type.requires_discrete_data():
+            for n in self._fit_nodes():
+                if not df.is_discrete(n):
+                    raise ValueError(
+                        f"Node '{n}' is not categorical; "
+                        f"{self._type.ToString()} requires categorical data."
+                    )
+
+    def _check_fitted(self):
+        if not self.fitted():
+            missing = [
+                n
+                for n in self._fit_nodes()
+                if n not in self._cpds or not self._cpds[n].fitted()
+            ]
+            raise ValueError(
+                "Model not fitted. Missing CPDs: " + ", ".join(missing)
+            )
+
+    # ------------------------------------------------------------ likelihood
+    def logl(self, df) -> np.ndarray:
+        """Per-row joint log-likelihood. Rows with nulls in any family yield
+        NaN (reference BNGeneric::logl accumulates NaN)."""
+        self._check_fitted()
+        df = DataFrame.wrap(df)
+        total = np.zeros(df.num_rows)
+        for n in self._fit_nodes():
+            total = total + np.asarray(self._cpds[n].logl(df))
+        return total
+
+    def slogl(self, df) -> float:
+        """Sum of per-factor slogl (each factor skips its own null rows,
+        reference BNGeneric::slogl:1010)."""
+        self._check_fitted()
+        df = DataFrame.wrap(df)
+        return float(sum(self._cpds[n].slogl(df) for n in self._fit_nodes()))
+
+    # ---------------------------------------------------------------- sample
+    def sample(self, n: int, seed: int | None = None, ordered: bool = False):
+        """Ancestral sampling (reference BNGeneric::sample:1024-1066)."""
+        self._check_fitted()
+        import pandas as pd
+
+        order = self._graph.topological_sort()
+        data: dict[str, object] = {}
+        base_seed = seed if seed is not None else np.random.SeedSequence().entropy % (2**31)
+        for i, node in enumerate(order):
+            cpd = self._cpds[node]
+            evidence = cpd.evidence()
+            ev_df = (
+                DataFrame.wrap({e: data[e] for e in evidence})
+                if evidence
+                else None
+            )
+            values = cpd.sample(n, ev_df, seed=int(base_seed) + i)
+            data[node] = self._postprocess_sample(cpd, values)
+        col_order = self.nodes() if ordered else order
+        return DataFrame.wrap({c: data[c] for c in col_order})
+
+    @staticmethod
+    def _postprocess_sample(cpd, values):
+        from ..factors.discrete import DiscreteFactor
+
+        if isinstance(cpd, DiscreteFactor):
+            import pandas as pd
+
+            return pd.Categorical.from_codes(
+                np.asarray(values), categories=list(cpd.variable_categories())
+            )
+        return np.asarray(values)
+
+    # ---------------------------------------------------------------- pickle
+    def save(self, filename: str, include_cpd: bool = False) -> None:
+        from ..utils.pickle import save_object
+
+        prev = getattr(self, "include_cpd", False)
+        self.include_cpd = include_cpd
+        try:
+            save_object(self, filename)
+        finally:
+            self.include_cpd = prev
+
+    def __getstate__(self):
+        include_cpd = getattr(self, "include_cpd", False)
+        state = {
+            "type": self._type,
+            "graph": self._graph,
+            "node_types": dict(self._node_types),
+            "cpds": dict(self._cpds) if include_cpd else {},
+        }
+        extra = getattr(self, "__getstate_extra__", None)
+        if callable(extra):
+            state["extra"] = extra()
+        return state
+
+    def __setstate__(self, state):
+        self._type = state["type"]
+        self._graph = state["graph"]
+        self._node_types = state["node_types"]
+        self._cpds = state["cpds"]
+        if "extra" in state:
+            setter = getattr(self, "__setstate_extra__", None)
+            if callable(setter):
+                setter(state["extra"])
+
+    # ---------------------------------------------------------------- string
+    def ToString(self) -> str:
+        return (
+            f"{type(self).__name__} [{self._type.ToString()}] "
+            f"({self.num_nodes()} nodes, {self.num_arcs()} arcs)"
+        )
+
+    def __str__(self) -> str:
+        return self.ToString()
+
+    def __repr__(self) -> str:
+        return self.ToString()
+
+
+class BayesianNetwork(BayesianNetworkBase):
+    """Generic unconditional BN (reference BNGeneric over Dag)."""
+
+    def __init__(self, type: BayesianNetworkType, nodes=None, arcs=None, graph=None):
+        self._type = type
+        self._cpds = {}
+        self._node_types = {}
+        if graph is not None:
+            self._graph = graph
+        else:
+            self._graph = Dag(list(nodes or []))
+            for (s, t) in arcs or []:
+                if not self._graph.contains_node(s):
+                    self._graph.add_node(s)
+                if not self._graph.contains_node(t):
+                    self._graph.add_node(t)
+                if not type.can_have_arc(self, s, t):
+                    raise ValueError(
+                        f"Arc {s} -> {t} not allowed by {type.ToString()}"
+                    )
+                self._graph.add_arc(s, t)
+
+    def conditional_bn(self, nodes=None, interface_nodes=None):
+        """(reference BNGeneric::conditional_bn:1068)."""
+        if nodes is None:
+            nodes = self.nodes()
+            interface_nodes = []
+        cbn = ConditionalBayesianNetwork(self._type, nodes, interface_nodes)
+        total = set(nodes) | set(interface_nodes or [])
+        for (s, t) in self.arcs():
+            if s in total and t in total and not cbn.graph().is_interface(t):
+                cbn.add_arc(s, t)
+        for name, nt in self._node_types.items():
+            if name in set(nodes):
+                cbn._node_types[name] = nt
+        for name, cpd in self._cpds.items():
+            if name in set(nodes):
+                cbn._cpds[name] = cpd
+        return cbn
+
+    def unconditional_bn(self) -> "BayesianNetwork":
+        return self.clone()
+
+    def clone(self) -> "BayesianNetwork":
+        import copy
+
+        new = type(self).__new__(type(self))
+        new._type = self._type
+        new._graph = copy.deepcopy(self._graph)
+        new._cpds = dict(self._cpds)
+        new._node_types = dict(self._node_types)
+        return new
+
+    def __setstate__(self, state):
+        super().__setstate__(state)
+
+
+class ConditionalBayesianNetwork(BayesianNetworkBase):
+    """Conditional BN: interface nodes carry no CPD
+    (reference models/BayesianNetwork.hpp:1237-1314)."""
+
+    def __init__(self, type: BayesianNetworkType, nodes=None,
+                 interface_nodes=None, arcs=None, graph=None):
+        self._type = type
+        self._cpds = {}
+        self._node_types = {}
+        if graph is not None:
+            self._graph = graph
+        else:
+            self._graph = ConditionalDag(
+                list(nodes or []), list(interface_nodes or [])
+            )
+            for (s, t) in arcs or []:
+                self._graph.add_arc(s, t)
+
+    def interface_nodes(self) -> list[str]:
+        return self._graph.interface_nodes()
+
+    def num_interface_nodes(self) -> int:
+        return self._graph.num_interface_nodes()
+
+    def joint_nodes(self) -> list[str]:
+        return self._graph.joint_nodes()
+
+    def is_interface(self, node) -> bool:
+        return self._graph.is_interface(node)
+
+    def interface_arcs(self) -> list[tuple[str, str]]:
+        return self._graph.interface_arcs()
+
+    def _all_nodes(self) -> list[str]:
+        return self._graph.joint_nodes()
+
+    def _fit_nodes(self) -> list[str]:
+        return self.nodes()
+
+    def sample(self, n: int = None, evidence=None, concat_evidence: bool = False,
+               seed: int | None = None, ordered: bool = False):
+        """Sample given interface evidence
+        (reference BayesianNetwork.hpp:1237,1314)."""
+        self._check_fitted()
+        if evidence is None:
+            raise ValueError(
+                "ConditionalBayesianNetwork::sample needs interface evidence"
+            )
+        ev = DataFrame.wrap(evidence)
+        if n is None:
+            n = ev.num_rows
+        if ev.num_rows != n:
+            raise ValueError("evidence rows != n")
+        order = self._graph.topological_sort()
+        data = {name: ev.col(name) for name in self.interface_nodes()}
+        base_seed = seed if seed is not None else 0
+        for i, node in enumerate(order):
+            cpd = self._cpds[node]
+            evs = cpd.evidence()
+            ev_df = (
+                DataFrame.wrap({e: data[e] for e in evs}) if evs else None
+            )
+            values = cpd.sample(n, ev_df, seed=int(base_seed) + i)
+            data[node] = self._postprocess_sample(cpd, values)
+        cols = self.nodes() if ordered else order
+        if concat_evidence:
+            cols = cols + self.interface_nodes()
+        return DataFrame.wrap({c: data[c] for c in cols})
+
+    def unconditional_bn(self) -> BayesianNetwork:
+        bn = BayesianNetwork(
+            self._type, self.joint_nodes(), self.arcs()
+        )
+        bn._node_types = dict(self._node_types)
+        bn._cpds = dict(self._cpds)
+        return bn
+
+    def conditional_bn(self) -> "ConditionalBayesianNetwork":
+        return self.clone()
+
+    def clone(self) -> "ConditionalBayesianNetwork":
+        import copy
+
+        new = type(self).__new__(type(self))
+        new._type = self._type
+        new._graph = copy.deepcopy(self._graph)
+        new._cpds = dict(self._cpds)
+        new._node_types = dict(self._node_types)
+        return new
