@@ -1,0 +1,207 @@
+"""BIC score (reference learning/scores/bic.{hpp,cpp}, 230 LoC).
+
+Dispatches per node type: linear-Gaussian closed form (bic.cpp:12-27),
+discrete count form (bic.cpp:66-97), CLG partition (bic.cpp:29-64).
+The linear-Gaussian batch path — the hill-climbing hot loop — runs as a
+single vmapped device kernel over all candidate families
+(:func:`pybnesian_tpu.ops.gaussian.batched_bic`).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ...data import DataFrame
+from ...factors.discrete import DiscreteFactorType, create_cardinality_strides, joint_counts
+from ...factors.lineargaussian import LinearGaussianCPDType
+from ...learning.parameters import mle_lineargaussian
+from ...utils import MACHINE_TOL
+from .base import Score
+
+__all__ = ["BIC"]
+
+_LOG_2PI = math.log(2 * math.pi)
+
+
+def _next_pow2(x: int, floor: int = 1) -> int:
+    n = max(floor, 1)
+    while n < x:
+        n *= 2
+    return n
+
+
+def _padded_batched_bic(values, valid, fams):
+    """Run :func:`batched_bic` with (F, P) padded to power-of-two buckets so
+    the number of distinct compiled shapes stays O(log² F·P) across the whole
+    search (every distinct shape costs an XLA compile)."""
+    import jax.numpy as jnp
+
+    from ...ops.gaussian import batched_bic
+
+    F = len(fams)
+    P = max((len(ps) for _, ps in fams), default=0)
+    Fb = _next_pow2(F, 8)
+    Pb = _next_pow2(max(P, 1))
+    var_idx = np.zeros(Fb, np.int32)
+    parent_idx = np.zeros((Fb, Pb), np.int32)
+    parent_mask = np.zeros((Fb, Pb), np.asarray(values).dtype)
+    for f, (vi, ps) in enumerate(fams):
+        var_idx[f] = vi
+        for j, p in enumerate(ps):
+            parent_idx[f, j] = p
+            parent_mask[f, j] = 1.0
+    scores = batched_bic(
+        values,
+        valid,
+        jnp.asarray(var_idx),
+        jnp.asarray(parent_idx),
+        jnp.asarray(parent_mask),
+    )
+    return np.asarray(scores, dtype=np.float64)[:F]
+
+
+class BIC(Score):
+    def __init__(self, df):
+        self.df = DataFrame.wrap(df)
+        self._device_cache = None
+
+    def data(self):
+        return self.df
+
+    # ------------------------------------------------------------- dispatch
+    def local_score_node_type(self, model, node_type, variable, parents) -> float:
+        parents = list(parents)
+        if node_type == LinearGaussianCPDType():
+            discrete_parents = [
+                p for p in parents if self.df.is_discrete(p)
+            ]
+            continuous_parents = [
+                p for p in parents if not self.df.is_discrete(p)
+            ]
+            if discrete_parents:
+                return self._bic_clg(variable, discrete_parents, continuous_parents)
+            return self._bic_lineargaussian(variable, parents)
+        if node_type == DiscreteFactorType():
+            return self._bic_discrete(variable, parents)
+        from ...factors.hybrid import CLinearGaussianCPDType
+
+        if node_type == CLinearGaussianCPDType():
+            discrete_parents = [p for p in parents if self.df.is_discrete(p)]
+            continuous_parents = [p for p in parents if not self.df.is_discrete(p)]
+            return self._bic_clg(variable, discrete_parents, continuous_parents)
+        raise ValueError(
+            f"BIC is not defined for factor type {node_type}."
+        )
+
+    # --------------------------------------------------------------- pieces
+    def _bic_lineargaussian(self, variable, parents) -> float:
+        params = mle_lineargaussian(self.df, variable, parents)
+        if params.variance < MACHINE_TOL or math.isinf(params.variance):
+            return -math.inf
+        n = self.df.valid_rows(variable, *parents)
+        k = len(parents)
+        loglik = (
+            0.5 * (1 + k - n)
+            - 0.5 * n * _LOG_2PI
+            - 0.5 * n * math.log(params.variance)
+        )
+        return loglik - math.log(n) * 0.5 * (k + 2)
+
+    def _bic_discrete(self, variable, parents) -> float:
+        card, strides = create_cardinality_strides(self.df, variable, parents)
+        counts = joint_counts(self.df, variable, parents, card, strides)
+        k = int(card[0])
+        counts2 = counts.reshape(-1, k)
+        totals = counts2.sum(axis=1)
+        nz = counts2 > 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ll = float(
+                np.sum(
+                    counts2[nz]
+                    * (np.log(counts2[nz]) - np.log(np.repeat(totals, k).reshape(-1, k)[nz]))
+                )
+            )
+        n = counts.sum()
+        num_parent_configs = counts2.shape[0]
+        return ll - math.log(n) * 0.5 * (k - 1) * num_parent_configs
+
+    def _bic_clg(self, variable, discrete_parents, continuous_parents) -> float:
+        """Per-discrete-configuration linear regressions (bic.cpp:29-64)."""
+        card, strides = create_cardinality_strides(
+            self.df, discrete_parents[0], discrete_parents[1:]
+        )
+        from ...factors.discrete import flat_indices
+
+        config_idx = flat_indices(self.df, discrete_parents, strides)
+        num_configs = int(np.prod(card))
+        loglik = 0.0
+        kc = len(continuous_parents)
+        all_idx = np.arange(self.df.num_rows)
+        for c in range(num_configs):
+            rows = all_idx[config_idx == c]
+            if len(rows) == 0:
+                continue
+            sub = self.df.take(rows)
+            params = mle_lineargaussian(sub, variable, continuous_parents)
+            if params.variance < MACHINE_TOL or math.isinf(params.variance):
+                return -math.inf
+            nv = sub.valid_rows(variable, *continuous_parents)
+            loglik += (
+                0.5 * (1 + kc - nv)
+                - 0.5 * nv * _LOG_2PI
+                - 0.5 * nv * math.log(params.variance)
+            )
+        n = self.df.valid_rows(variable, *discrete_parents, *continuous_parents)
+        return loglik - math.log(n) * 0.5 * num_configs * (kc + 2)
+
+    # ------------------------------------------------------- batched (TPU)
+    def _device_data(self):
+        if self._device_cache is None:
+            cols = self.df.continuous_columns()
+            values, valid = self.df.device_matrix(cols)
+            self._device_cache = (
+                {c: i for i, c in enumerate(cols)},
+                values,
+                valid,
+            )
+        return self._device_cache
+
+    def local_score_batch(self, model, families) -> np.ndarray:
+        """One device call for all linear-Gaussian families; host fallback for
+        discrete/CLG families."""
+        import jax.numpy as jnp
+
+        from ...ops.gaussian import batched_bic
+
+        norm = []
+        for fam in families:
+            if len(fam) == 3:
+                v, ps, nt = fam
+                if nt is None:
+                    nt = self._node_type(model, v)
+            else:
+                v, ps = fam
+                nt = self._node_type(model, v)
+            norm.append((v, list(ps), nt))
+
+        out = np.empty(len(norm))
+        lg_idx = []
+        for i, (v, ps, nt) in enumerate(norm):
+            if nt == LinearGaussianCPDType() and not any(
+                self.df.is_discrete(p) for p in ps
+            ) and not self.df.is_discrete(v):
+                lg_idx.append(i)
+            else:
+                out[i] = self.local_score_node_type(model, nt, v, ps)
+
+        if lg_idx:
+            pos, values, valid = self._device_data()
+            fams = [(pos[norm[i][0]], [pos[p] for p in norm[i][1]]) for i in lg_idx]
+            scores = _padded_batched_bic(values, valid, fams)
+            out[np.array(lg_idx)] = scores
+        return out
+
+    def ToString(self) -> str:
+        return "BIC"

@@ -2,9 +2,11 @@ import os
 import sys
 
 # Tests run on a virtual multi-device CPU mesh: fast, deterministic, and lets
-# sharding tests exercise 8 devices without TPU hardware. Must be set before
-# jax import anywhere in the test process.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# sharding tests exercise 8 devices without TPU hardware.
+#
+# NOTE: this environment injects a TPU plugin via sitecustomize, which imports
+# jax before conftest runs — env vars set here are too late. jax.config.update
+# works because the backend initializes lazily on first use.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -13,6 +15,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: XLA CPU compiles of the vmapped kernels take
