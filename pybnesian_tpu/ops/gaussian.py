@@ -115,6 +115,72 @@ def batched_bic(values, valid, var_idx, parent_idx, parent_mask):
 
 
 @jax.jit
+def batched_lg_cv_loglik(values, valid, train_mask, test_mask, var_idx,
+                         parent_idx, parent_mask):
+    """k-fold CV log-likelihood of F linear-Gaussian families in ONE device
+    call — the batched replacement for the reference's per-(family, fold)
+    serial fit+slogl loop (learning/scores/cv_likelihood.cpp:11-25).
+
+    train_mask/test_mask: (K, n) 0/1 row masks per fold (rows excluded from
+    the CV — e.g. null rows — are 0 in both). Returns (F,) summed test
+    log-likelihood across folds; -inf when any fold is degenerate."""
+
+    def one_family(vi, pi, pm):
+        design, w = _family_design(values, valid, vi, pi, pm)
+        y = design[:, -1]
+
+        def one_fold(tm, sm):
+            wtr = w * tm
+            gram = jnp.einsum(
+                "ni,nj->ij", design * wtr[:, None], design,
+                preferred_element_type=design.dtype,
+            )
+            beta, variance, _ = lg_params_from_gram(gram, pm, jnp.sum(wtr))
+            mean = design[:, :-1] @ beta
+            ll = (
+                -0.5 * jnp.square(y - mean) / variance
+                - 0.5 * jnp.log(variance)
+                - 0.5 * LOG_2PI
+            )
+            wte = w * sm
+            fold_ll = jnp.sum(ll * wte)
+            bad = (variance < _MACHINE_TOL) | ~jnp.isfinite(variance)
+            return jnp.where(bad, -jnp.inf, fold_ll)
+
+        return jnp.sum(jax.vmap(one_fold)(train_mask, test_mask))
+
+    return jax.vmap(one_family)(var_idx, parent_idx, parent_mask)
+
+
+@jax.jit
+def batched_lg_holdout_loglik(train_values, train_valid, test_values,
+                              test_valid, var_idx, parent_idx, parent_mask):
+    """Fit on training split, slogl on test split, batched over F families
+    (reference learning/scores/holdout_likelihood.cpp)."""
+    grams, n_eff = family_grams(
+        train_values, train_valid, var_idx, parent_idx, parent_mask
+    )
+    betas, variances, _ = jax.vmap(lg_params_from_gram)(
+        grams, parent_mask, n_eff
+    )
+
+    def one(vi, pi, pm, beta, variance):
+        design, w = _family_design(test_values, test_valid, vi, pi, pm)
+        y = design[:, -1]
+        mean = design[:, :-1] @ beta
+        ll = (
+            -0.5 * jnp.square(y - mean) / variance
+            - 0.5 * jnp.log(variance)
+            - 0.5 * LOG_2PI
+        )
+        total = jnp.sum(ll * w)
+        bad = (variance < _MACHINE_TOL) | ~jnp.isfinite(variance)
+        return jnp.where(bad, -jnp.inf, total)
+
+    return jax.vmap(one)(var_idx, parent_idx, parent_mask, betas, variances)
+
+
+@jax.jit
 def lg_logl(y, X, beta, variance):
     """Per-row log N(y | beta0 + X·beta[1:], variance)
     (reference LinearGaussianCPD.cpp:93-119)."""

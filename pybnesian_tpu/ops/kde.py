@@ -114,6 +114,73 @@ def kde_conditional_logsumexp(
     return out + (joint_lognorm - marg_lognorm)
 
 
+@partial(jax.jit, static_argnames=("chunk",))
+def ckde_cv_slogl(joint_tr, joint_te, marg_tr, marg_te, tr_mask, te_mask,
+                  joint_ln, marg_ln, chunk=256):
+    """k-fold CV test log-likelihood of one CKDE family, folds batched.
+
+    joint_tr: (K, Ntr, dj) per-fold whitened training blocks (padded rows
+    anywhere with tr_mask 0), joint_te: (K, Nte, dj) whitened test blocks,
+    marg_*: same for the evidence marginal; tr_mask: (K, Ntr), te_mask:
+    (K, Nte); joint_ln/marg_ln: (K,) lognorm constants. Nte must be a
+    multiple of ``chunk``. Returns the scalar summed test logl."""
+    dj = joint_tr.shape[2]
+    dm = marg_tr.shape[2]
+
+    def fold(jtr, jte, mtr, mte, trm, tem, jln, mln):
+        jn = jnp.sum(jnp.square(jtr), axis=1)
+        mn = jnp.sum(jnp.square(mtr), axis=1)
+        neg = jnp.where(trm > 0, 0.0, -jnp.inf)
+
+        def body(args):
+            jc, mc = args
+            jd2 = (
+                jnp.sum(jnp.square(jc), axis=1)[:, None]
+                - 2.0 * _dot(jc, jtr.T)
+                + jn[None, :]
+            )
+            lj = jax.nn.logsumexp(-0.5 * jd2 + neg[None, :], axis=1)
+            md2 = (
+                jnp.sum(jnp.square(mc), axis=1)[:, None]
+                - 2.0 * _dot(mc, mtr.T)
+                + mn[None, :]
+            )
+            lm = jax.nn.logsumexp(-0.5 * md2 + neg[None, :], axis=1)
+            return lj - lm
+
+        jchunks = jte.reshape(-1, chunk, dj)
+        mchunks = mte.reshape(-1, chunk, dm)
+        out = jax.lax.map(body, (jchunks, mchunks)).reshape(-1)
+        return jnp.sum((out + (jln - mln)) * tem)
+
+    return jnp.sum(jax.vmap(fold)(joint_tr, joint_te, marg_tr, marg_te,
+                                  tr_mask, te_mask, joint_ln, marg_ln))
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def kde_cv_slogl(tr, te, tr_mask, te_mask, ln, chunk=256):
+    """k-fold CV test log-likelihood of one (joint-only) KDE family —
+    the no-evidence CKDE case."""
+    d = tr.shape[2]
+
+    def fold(xtr, xte, trm, tem, fln):
+        tn = jnp.sum(jnp.square(xtr), axis=1)
+        neg = jnp.where(trm > 0, 0.0, -jnp.inf)
+
+        def body(tc):
+            d2 = (
+                jnp.sum(jnp.square(tc), axis=1)[:, None]
+                - 2.0 * _dot(tc, xtr.T)
+                + tn[None, :]
+            )
+            return jax.nn.logsumexp(-0.5 * d2 + neg[None, :], axis=1)
+
+        out = jax.lax.map(body, xte.reshape(-1, chunk, d)).reshape(-1)
+        return jnp.sum((out + fln) * tem)
+
+    return jnp.sum(jax.vmap(fold)(tr, te, tr_mask, te_mask, ln))
+
+
 @jax.jit
 def gumbel_categorical(key, logits):
     """Row-wise categorical sample via Gumbel-max — the TPU replacement for
