@@ -27,6 +27,16 @@ _LOG_2PI = math.log(2 * math.pi)
 
 class CKDEType(FactorType):
     def new_factor(self, model, variable, evidence, *args, **kwargs):
+        """Dispatch to HCKDE when any evidence node is discrete
+        (reference CKDE.cpp:15-33)."""
+        if model is not None:
+            from .discrete import DiscreteFactorType
+
+            for e in evidence:
+                if model.node_type(e) == DiscreteFactorType():
+                    from .hybrid import HCKDE
+
+                    return HCKDE(variable, evidence, *args, **kwargs)
         return CKDE(variable, evidence, *args, **kwargs)
 
     def ToString(self) -> str:

@@ -23,7 +23,17 @@ _LOG_2PI = math.log(2 * math.pi)
 
 class LinearGaussianCPDType(FactorType):
     def new_factor(self, model, variable, evidence, *args, **kwargs):
-        return LinearGaussianCPD(variable, evidence)
+        """Dispatch to CLinearGaussianCPD when any evidence node is discrete
+        (reference LinearGaussianCPD.cpp:33-59)."""
+        if model is not None:
+            from .discrete import DiscreteFactorType
+
+            for e in evidence:
+                if model.node_type(e) == DiscreteFactorType():
+                    from .hybrid import CLinearGaussianCPD
+
+                    return CLinearGaussianCPD(variable, evidence, *args, **kwargs)
+        return LinearGaussianCPD(variable, evidence, *args, **kwargs)
 
     def ToString(self) -> str:
         return "LinearGaussianFactor"

@@ -85,12 +85,6 @@ class BIC(Score):
             return self._bic_lineargaussian(variable, parents)
         if node_type == DiscreteFactorType():
             return self._bic_discrete(variable, parents)
-        from ...factors.hybrid import CLinearGaussianCPDType
-
-        if node_type == CLinearGaussianCPDType():
-            discrete_parents = [p for p in parents if self.df.is_discrete(p)]
-            continuous_parents = [p for p in parents if not self.df.is_discrete(p)]
-            return self._bic_clg(variable, discrete_parents, continuous_parents)
         raise ValueError(
             f"BIC is not defined for factor type {node_type}."
         )

@@ -202,29 +202,21 @@ class CLGNetworkType(BayesianNetworkType):
         if df.is_discrete(variable):
             return [DiscreteFactorType()]
         if df.is_continuous(variable):
-            from ..factors.hybrid import CLinearGaussianCPDType
-
-            return [CLinearGaussianCPDType()]
+            # continuous nodes use LinearGaussianCPDType; new_factor
+            # dispatches to CLinearGaussianCPD when discrete parents exist
+            # (reference CLGNetwork.hpp:14-100, LinearGaussianCPD.cpp:33-59)
+            return [LinearGaussianCPDType()]
         raise ValueError(
             f"Data type of node {variable} not compatible with CLGNetworkType"
         )
 
     def compatible_node_type(self, model, variable, node_type) -> bool:
-        from ..factors.hybrid import CLinearGaussianCPDType
-
-        return node_type in (
-            DiscreteFactorType(),
-            LinearGaussianCPDType(),
-            CLinearGaussianCPDType(),
-        )
+        return node_type in (DiscreteFactorType(), LinearGaussianCPDType())
 
     def can_have_arc(self, model, source, target) -> bool:
-        from ..factors.hybrid import CLinearGaussianCPDType
-
         st = model.node_type(source)
         tt = model.node_type(target)
-        continuous = (LinearGaussianCPDType(), CLinearGaussianCPDType())
-        if st in continuous and tt == DiscreteFactorType():
+        if st == LinearGaussianCPDType() and tt == DiscreteFactorType():
             return False
         return True
 
