@@ -1,0 +1,137 @@
+"""BDe: Bayesian Dirichlet equivalent score.
+
+Rebuild of reference learning/scores/bde.{hpp,cpp} (~230 LoC): the iss prior
+spread uniformly over joint configurations. The batch path counts and scores
+all candidate families in one device call
+(:func:`pybnesian_tpu.ops.discrete.batched_bde`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.special import gammaln
+
+from ...data import DataFrame
+from ...factors.discrete import DiscreteFactorType, create_cardinality_strides, joint_counts
+from .base import Score
+
+__all__ = ["BDe"]
+
+
+def _next_pow2(x: int, floor: int = 1) -> int:
+    n = max(floor, 1)
+    while n < x:
+        n *= 2
+    return n
+
+
+class BDe(Score):
+    def __init__(self, df, iss: float = 1.0):
+        self.df = DataFrame.wrap(df)
+        self.iss = float(iss)
+        self._codes_cache = None
+
+    def data(self):
+        return self.df
+
+    def local_score_node_type(self, model, node_type, variable, parents) -> float:
+        if node_type != DiscreteFactorType():
+            raise ValueError(
+                f'Node type "{node_type}" not valid for score BDe'
+            )
+        parents = list(parents)
+        card, strides = create_cardinality_strides(self.df, variable, parents)
+        counts = joint_counts(self.df, variable, parents, card, strides)
+        k = int(card[0])
+        cardinality_prod = int(np.prod(card))
+        alpha = self.iss / cardinality_prod
+        counts2 = counts.reshape(-1, k)
+        res = float(
+            np.sum(gammaln(counts2 + alpha)) - cardinality_prod * gammaln(alpha)
+        )
+        sums = counts2.sum(axis=1)
+        sum_alpha = alpha * k
+        res += float(np.sum(gammaln(sum_alpha) - gammaln(sum_alpha + sums)))
+        return res
+
+    # ------------------------------------------------------- batched (TPU)
+    def _device_codes(self):
+        if self._codes_cache is None:
+            import jax.numpy as jnp
+
+            cols = self.df.discrete_columns()
+            codes = self.df.device_codes(cols)
+            cards = jnp.asarray(
+                np.array([self.df.cardinality(c) for c in cols], np.int32)
+            )
+            self._codes_cache = (
+                {c: i for i, c in enumerate(cols)},
+                codes,
+                cards,
+                np.array([self.df.cardinality(c) for c in cols]),
+            )
+        return self._codes_cache
+
+    def local_score_batch(self, model, families) -> np.ndarray:
+        import jax.numpy as jnp
+
+        from ...ops.discrete import batched_bde
+
+        norm = []
+        for fam in families:
+            if len(fam) == 3:
+                v, ps, nt = fam
+                if nt is None:
+                    nt = self._node_type(model, v)
+            else:
+                v, ps = fam
+                nt = self._node_type(model, v)
+            norm.append((v, list(ps), nt))
+        out = np.empty(len(norm))
+        disc_idx = [
+            i
+            for i, (v, ps, nt) in enumerate(norm)
+            if nt == DiscreteFactorType()
+            and self.df.is_discrete(v)
+            and all(self.df.is_discrete(p) for p in ps)
+        ]
+        for i, (v, ps, nt) in enumerate(norm):
+            if i not in set(disc_idx):
+                out[i] = self.local_score_node_type(model, nt, v, ps)
+        if disc_idx:
+            pos, codes, cards_dev, cards_np = self._device_codes()
+            F = len(disc_idx)
+            Fb = _next_pow2(F, 8)
+            P = max((len(norm[i][1]) for i in disc_idx), default=0)
+            Pb = _next_pow2(max(P, 1))
+            var_idx = np.zeros(Fb, np.int32)
+            parent_idx = np.zeros((Fb, Pb), np.int32)
+            parent_mask = np.zeros((Fb, Pb), np.float32)
+            max_cells = 1
+            max_pconfigs = 1
+            for f, i in enumerate(disc_idx):
+                v, ps, _ = norm[i]
+                var_idx[f] = pos[v]
+                cells = cards_np[pos[v]]
+                pconf = 1
+                for j, p in enumerate(ps):
+                    parent_idx[f, j] = pos[p]
+                    parent_mask[f, j] = 1.0
+                    pconf *= cards_np[pos[p]]
+                max_cells = max(max_cells, cells * pconf)
+                max_pconfigs = max(max_pconfigs, pconf)
+            scores = batched_bde(
+                codes,
+                cards_dev,
+                jnp.asarray(var_idx),
+                jnp.asarray(parent_idx),
+                jnp.asarray(parent_mask),
+                self.iss,
+                max_cells=_next_pow2(max_cells),
+                max_pconfigs=_next_pow2(max_pconfigs),
+            )
+            out[np.array(disc_idx)] = np.asarray(scores, np.float64)[:F]
+        return out
+
+    def ToString(self) -> str:
+        return "BDe"

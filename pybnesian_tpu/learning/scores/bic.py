@@ -66,6 +66,7 @@ class BIC(Score):
     def __init__(self, df):
         self.df = DataFrame.wrap(df)
         self._device_cache = None
+        self._disc_cache = None
 
     def data(self):
         return self.df
@@ -182,20 +183,75 @@ class BIC(Score):
 
         out = np.empty(len(norm))
         lg_idx = []
+        disc_idx = []
         for i, (v, ps, nt) in enumerate(norm):
             if nt == LinearGaussianCPDType() and not any(
                 self.df.is_discrete(p) for p in ps
             ) and not self.df.is_discrete(v):
                 lg_idx.append(i)
+            elif nt == DiscreteFactorType() and self.df.is_discrete(v) and all(
+                self.df.is_discrete(p) for p in ps
+            ):
+                disc_idx.append(i)
             else:
                 out[i] = self.local_score_node_type(model, nt, v, ps)
 
+        if disc_idx:
+            out[np.array(disc_idx)] = self._batched_discrete(
+                [(norm[i][0], norm[i][1]) for i in disc_idx]
+            )
         if lg_idx:
             pos, values, valid = self._device_data()
             fams = [(pos[norm[i][0]], [pos[p] for p in norm[i][1]]) for i in lg_idx]
             scores = _padded_batched_bic(values, valid, fams)
             out[np.array(lg_idx)] = scores
         return out
+
+    def _batched_discrete(self, fams) -> np.ndarray:
+        """Discrete families via one scatter-count device call."""
+        import jax.numpy as jnp
+
+        from ...ops.discrete import batched_bic_discrete
+
+        if self._disc_cache is None:
+            cols = self.df.discrete_columns()
+            self._disc_cache = (
+                {c: i for i, c in enumerate(cols)},
+                self.df.device_codes(cols),
+                jnp.asarray(
+                    np.array([self.df.cardinality(c) for c in cols], np.int32)
+                ),
+                np.array([self.df.cardinality(c) for c in cols]),
+            )
+        pos, codes, cards_dev, cards_np = self._disc_cache
+        F = len(fams)
+        Fb = _next_pow2(F, 8)
+        P = max((len(ps) for _, ps in fams), default=0)
+        Pb = _next_pow2(max(P, 1))
+        var_idx = np.zeros(Fb, np.int32)
+        parent_idx = np.zeros((Fb, Pb), np.int32)
+        parent_mask = np.zeros((Fb, Pb), np.float32)
+        max_cells = 1
+        max_pconfigs = 1
+        for f, (v, ps) in enumerate(fams):
+            var_idx[f] = pos[v]
+            pconf = 1
+            for j, p in enumerate(ps):
+                parent_idx[f, j] = pos[p]
+                parent_mask[f, j] = 1.0
+                pconf *= cards_np[pos[p]]
+            max_cells = max(max_cells, cards_np[pos[v]] * pconf)
+            max_pconfigs = max(max_pconfigs, pconf)
+        scores = batched_bic_discrete(
+            codes,
+            cards_dev,
+            jnp.asarray(var_idx),
+            jnp.asarray(parent_idx),
+            jnp.asarray(parent_mask),
+            max_cells=_next_pow2(int(max_cells)),
+            max_pconfigs=_next_pow2(int(max_pconfigs)),
+        )
+        return np.asarray(scores, np.float64)[:F]
 
     def ToString(self) -> str:
         return "BIC"
