@@ -1,0 +1,132 @@
+"""pybnesian_tpu: a TPU-native Bayesian-network learning and inference
+framework.
+
+Flat public API mirroring the reference's single extension module
+(reference pybnesian/lib.cpp:22-51): graphs, factors, models, scores,
+independence tests, operators, and learning algorithms all importable from
+the package root. The numeric core runs on JAX/XLA (see pybnesian_tpu.ops);
+the posterior-inference engine (pybnesian_tpu.inference) is new to this
+framework.
+"""
+
+from .data import CrossValidation, DataFrame, HoldOut
+from .data.dynamic import DynamicDataFrame, DynamicVariable
+from .graph import (
+    ConditionalDag,
+    ConditionalDirectedGraph,
+    ConditionalPartiallyDirectedGraph,
+    ConditionalUndirectedGraph,
+    Dag,
+    DirectedGraph,
+    PartiallyDirectedGraph,
+    UndirectedGraph,
+)
+from .factors import (
+    Args,
+    Arguments,
+    Assignment,
+    DiscreteFactor,
+    DiscreteFactorType,
+    Factor,
+    FactorType,
+    Kwargs,
+    LinearGaussianCPD,
+    LinearGaussianCPDType,
+    UnknownFactorType,
+)
+from .factors.ckde import CKDE, CKDEType
+from .factors.hybrid import CLinearGaussianCPD, HCKDE
+from .kde import (
+    KDE,
+    BandwidthSelector,
+    NormalReferenceRule,
+    ProductKDE,
+    ScottsBandwidth,
+)
+from .kde.ucv import UCV
+from .models import (
+    BayesianNetwork,
+    BayesianNetworkBase,
+    BayesianNetworkType,
+    CLGNetwork,
+    CLGNetworkType,
+    ConditionalBayesianNetwork,
+    ConditionalCLGNetwork,
+    ConditionalDiscreteBN,
+    ConditionalGaussianNetwork,
+    ConditionalHeterogeneousBN,
+    ConditionalHomogeneousBN,
+    ConditionalKDENetwork,
+    ConditionalSemiparametricBN,
+    DiscreteBN,
+    DiscreteBNType,
+    GaussianNetwork,
+    GaussianNetworkType,
+    HeterogeneousBN,
+    HeterogeneousBNType,
+    HomogeneousBN,
+    HomogeneousBNType,
+    KDENetwork,
+    KDENetworkType,
+    SemiparametricBN,
+    SemiparametricBNType,
+)
+from .models.dynamic import (
+    DynamicBayesianNetwork,
+    DynamicCLGNetwork,
+    DynamicDiscreteBN,
+    DynamicGaussianNetwork,
+    DynamicHeterogeneousBN,
+    DynamicHomogeneousBN,
+    DynamicKDENetwork,
+    DynamicSemiparametricBN,
+)
+from .learning.scores import BIC, Score, ValidatedScore
+from .learning.scores.bde import BDe
+from .learning.scores.bge import BGe
+from .learning.scores.likelihood import (
+    CVLikelihood,
+    HoldoutLikelihood,
+    ValidatedLikelihood,
+)
+from .learning.scores.dynamic import (
+    DynamicBDe,
+    DynamicBGe,
+    DynamicBIC,
+    DynamicCVLikelihood,
+    DynamicHoldoutLikelihood,
+    DynamicScore,
+    DynamicValidatedLikelihood,
+)
+from .learning.operators import (
+    AddArc,
+    ArcOperatorSet,
+    ChangeNodeType,
+    ChangeNodeTypeSet,
+    FlipArc,
+    Operator,
+    OperatorPool,
+    OperatorSet,
+    OperatorTabuSet,
+    RemoveArc,
+)
+from .learning.algorithms import Callback, GreedyHillClimbing, SaveModel, hc
+from .learning.algorithms.pc import PC, MeekRules
+from .learning.algorithms.mmpc import MMPC
+from .learning.algorithms.mmhc import MMHC
+from .learning.algorithms.dmmhc import DMMHC
+from .learning.independences import (
+    ChiSquare,
+    DynamicIndependenceTest,
+    IndependenceTest,
+    KMutualInformation,
+    LinearCorrelation,
+    MutualInformation,
+    RCoT,
+)
+from .kdtree import KDTree
+from .utils.pickle import load
+
+__version__ = "0.1.0"
+
+__all__ = [name for name in dir() if not name.startswith("_")]

@@ -1,0 +1,345 @@
+"""Hybrid mutual-information test for mixed discrete/continuous data.
+
+Rebuild of reference learning/independences/hybrid/mutual_information.
+{hpp,cpp} (1,849 LoC — the largest learning file): a likelihood-ratio G-test
+where entropies have closed forms — discrete plug-in entropies, Gaussian
+entropies from per-configuration covariance determinants
+(entropy_mvn, mutual_information.cpp:921-924) — and 2N·MI follows a χ²
+asymptotic with exact or simulation-calibrated degrees of freedom
+(``asymptotic_df`` flag; df formulas mutual_information.cpp:1093-1731).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from scipy.stats import chi2
+
+from ...data import DataFrame
+from .base import DynamicIndependenceTest, IndependenceTest
+
+__all__ = ["MutualInformation", "DynamicMutualInformation"]
+
+_LOG_2PI = math.log(2 * math.pi)
+
+
+def entropy_mvn(d: int, cov_det: float) -> float:
+    """(reference mutual_information.cpp:921-924)."""
+    if cov_det <= 0 or math.isnan(cov_det):
+        return -math.inf
+    return 0.5 * d + 0.5 * d * _LOG_2PI + 0.5 * math.log(cov_det)
+
+
+class MutualInformation(IndependenceTest):
+    def __init__(self, df, asymptotic_df: bool = True):
+        self.df = DataFrame.wrap(df)
+        self.asymptotic_df = asymptotic_df
+        for c in self.df.column_names():
+            if not (self.df.is_discrete(c) or self.df.is_continuous(c)):
+                raise ValueError(f"Wrong data type for column {c}.")
+
+    def variable_names(self) -> list[str]:
+        return self.df.column_names()
+
+    # ------------------------------------------------------------ helpers
+    def _card(self, v: str) -> int:
+        return self.df.cardinality(v)
+
+    def _split_z(self, z):
+        dz = [e for e in z if self.df.is_discrete(e)]
+        cz = [e for e in z if not self.df.is_discrete(e)]
+        return dz, cz
+
+    def _config_index(self, disc_vars, valid_mask):
+        """Flat config index over discrete vars (first var fastest) for valid
+        rows; returns (idx array over all rows, num_configs, cards)."""
+        if not disc_vars:
+            return np.zeros(self.df.num_rows, np.int64), 1, []
+        cards = [self._card(v) for v in disc_vars]
+        idx = np.zeros(self.df.num_rows, np.int64)
+        stride = 1
+        for v, card in zip(disc_vars, cards):
+            idx += self.df.codes(v).astype(np.int64) * stride
+            stride *= card
+        return idx, stride, cards
+
+    def _grouped_cov_dets(self, cont_vars, config_idx, n_configs, valid):
+        """Per-config determinant of the ddof-1 covariance of cont_vars."""
+        d = len(cont_vars)
+        dets = np.full(n_configs, np.nan)
+        if d == 0:
+            return dets
+        mat = self.df.to_numpy(cont_vars, drop_null=False, dtype=np.float64)
+        for k in range(n_configs):
+            rows = valid & (config_idx == k)
+            n = int(rows.sum())
+            if n <= d:
+                continue
+            sub = mat[rows]
+            centred = sub - sub.mean(axis=0, keepdims=True)
+            cov = centred.T @ centred / (n - 1)
+            dets[k] = np.linalg.det(cov)
+        return dets
+
+    # ------------------------------------------------------------ marginal
+    def _mi_discrete(self, x, y) -> float:
+        valid = self.df.combined_mask(x, y)
+        cx = self.df.codes(x)[valid].astype(np.int64)
+        cy = self.df.codes(y)[valid].astype(np.int64)
+        kx, ky = self._card(x), self._card(y)
+        counts = np.bincount(cx + kx * cy, minlength=kx * ky).reshape(ky, kx)
+        n = counts.sum()
+        px = counts.sum(axis=0) / n
+        py = counts.sum(axis=1) / n
+        pij = counts / n
+        nz = pij > 0
+        outer = np.outer(py, px)
+        return float(np.sum(pij[nz] * np.log(pij[nz] / outer[nz])))
+
+    def _mi_mixed(self, discrete, continuous) -> float:
+        """(reference mi_mixed_impl, mutual_information.cpp:958-1033)."""
+        valid = self.df.combined_mask(discrete, continuous)
+        codes = self.df.codes(discrete)[valid].astype(np.int64)
+        vals = self.df.to_numpy([continuous], drop_null=False,
+                                dtype=np.float64)[valid, 0]
+        k = self._card(discrete)
+        n = len(vals)
+        total_var = vals.var(ddof=1)
+        mi = 0.5 + 0.5 * math.log(2 * math.pi * total_var)
+        for j in range(k):
+            sel = codes == j
+            cnt = int(sel.sum())
+            if cnt > 0:
+                pj = cnt / n
+                var_j = vals[sel].var(ddof=1) if cnt > 1 else 0.0
+                h = 0.5 + 0.5 * math.log(2 * math.pi * var_j) if var_j > 0 else -math.inf
+                if math.isinf(h):
+                    continue
+                mi -= pj * h
+        return max(mi, 0.0)
+
+    def _mi_continuous(self, x, y) -> float:
+        cov = self.df.cov([x, y])
+        cor = cov[0, 1] / math.sqrt(cov[0, 0] * cov[1, 1])
+        cor = min(max(cor, -1 + 1e-15), 1 - 1e-15)
+        return -0.5 * math.log(1 - cor * cor)
+
+    # ----------------------------------------------------------------- mi
+    def mi(self, x: str, y: str, *z) -> float:
+        z = list(z[0]) if len(z) == 1 and not isinstance(z[0], str) else list(z)
+        if not z:
+            if self.df.is_discrete(x):
+                if self.df.is_discrete(y):
+                    return self._mi_discrete(x, y)
+                return self._mi_mixed(x, y)
+            if self.df.is_discrete(y):
+                return self._mi_mixed(y, x)
+            return self._mi_continuous(x, y)
+        dz, cz = self._split_z(z)
+        if self.df.is_discrete(x) and self.df.is_discrete(y):
+            if not cz:
+                return self._cmi_discrete_discrete(x, y, dz)
+            return self._cmi_both_discrete(x, y, dz, cz)
+        if self.df.is_discrete(x):
+            return self._cmi_mixed(x, y, dz, cz)
+        if self.df.is_discrete(y):
+            return self._cmi_mixed(y, x, dz, cz)
+        return self._cmi_both_continuous(x, y, dz, cz)
+
+    # ---------------------------------------------------- conditional cases
+    def _cmi_discrete_discrete(self, x, y, dz) -> float:
+        """(reference cmi_discrete_discrete)."""
+        valid = self.df.combined_mask(x, y, *dz)
+        zidx, zc, _ = self._config_index(dz, valid)
+        cx = self.df.codes(x).astype(np.int64)
+        cy = self.df.codes(y).astype(np.int64)
+        kx, ky = self._card(x), self._card(y)
+        flat = cx + kx * cy + kx * ky * zidx
+        counts = np.bincount(flat[valid], minlength=kx * ky * zc).reshape(
+            zc, ky, kx
+        )
+        n = counts.sum()
+        mi = 0.0
+        for k in range(zc):
+            tab = counts[k]
+            nz_tot = tab.sum()
+            if nz_tot == 0:
+                continue
+            pz = nz_tot / n
+            pxz = tab.sum(axis=0) / n
+            pyz = tab.sum(axis=1) / n
+            pxyz = tab / n
+            pos = pxyz > 0
+            ratio = pz * pxyz / np.outer(pyz, pxz)
+            mi += float(np.sum(pxyz[pos] * np.log(ratio[pos])))
+        return mi
+
+    def _cmi_both_continuous(self, x, y, dz, cz) -> float:
+        """x, y continuous (reference cmi_general_both_continuous)."""
+        valid = self.df.combined_mask(x, y, *dz, *cz)
+        zidx, zc, _ = self._config_index(dz, valid)
+        n = int(valid.sum())
+        counts = np.bincount(zidx[valid], minlength=zc)
+        det_xyz = self._grouped_cov_dets([x, y, *cz], zidx, zc, valid)
+        det_xz = self._grouped_cov_dets([x, *cz], zidx, zc, valid)
+        det_yz = self._grouped_cov_dets([y, *cz], zidx, zc, valid)
+        det_z = self._grouped_cov_dets(cz, zidx, zc, valid) if cz else None
+        mi = 0.0
+        for k in range(zc):
+            if counts[k] == 0:
+                continue
+            pz = counts[k] / n
+            h_xyz = entropy_mvn(len(cz) + 2, det_xyz[k])
+            h_xz = entropy_mvn(len(cz) + 1, det_xz[k])
+            h_yz = entropy_mvn(len(cz) + 1, det_yz[k])
+            term = h_xz + h_yz - h_xyz
+            if cz:
+                term -= entropy_mvn(len(cz), det_z[k])
+            if math.isfinite(term):
+                mi += pz * term
+        return max(mi, 0.0)
+
+    def _cmi_mixed(self, xd, yc, dz, cz) -> float:
+        """x discrete, y continuous (reference cmi_general_mixed)."""
+        valid = self.df.combined_mask(xd, yc, *dz, *cz)
+        zidx, zc_n, _ = self._config_index(dz, valid)
+        kx = self._card(xd)
+        cx = self.df.codes(xd).astype(np.int64)
+        xz_idx = cx + kx * zidx
+        n = int(valid.sum())
+        counts_xz = np.bincount(xz_idx[valid], minlength=kx * zc_n)
+        counts_z = np.bincount(zidx[valid], minlength=zc_n)
+        det_y_cz_given_xz = self._grouped_cov_dets([yc, *cz], xz_idx, kx * zc_n, valid)
+        det_cz_given_xz = (
+            self._grouped_cov_dets(cz, xz_idx, kx * zc_n, valid) if cz else None
+        )
+        det_y_cz_given_z = self._grouped_cov_dets([yc, *cz], zidx, zc_n, valid)
+        det_cz_given_z = (
+            self._grouped_cov_dets(cz, zidx, zc_n, valid) if cz else None
+        )
+        mi = 0.0
+        for k in range(zc_n):
+            if counts_z[k] == 0:
+                continue
+            pz = counts_z[k] / n
+            for i in range(kx):
+                idx = k * kx + i
+                cnt = counts_xz[idx]
+                if cnt == 0:
+                    continue
+                pxz = cnt / n
+                h_xyz = entropy_mvn(len(cz) + 1, det_y_cz_given_xz[idx])
+                if math.isfinite(h_xyz):
+                    mi -= pxz * h_xyz
+                if cz:
+                    h_xz = entropy_mvn(len(cz), det_cz_given_xz[idx])
+                    if math.isfinite(h_xz):
+                        mi += pxz * h_xz
+            h_yz = entropy_mvn(len(cz) + 1, det_y_cz_given_z[k])
+            if math.isfinite(h_yz):
+                mi += pz * h_yz
+            if cz:
+                h_z = entropy_mvn(len(cz), det_cz_given_z[k])
+                if math.isfinite(h_z):
+                    mi -= pz * h_z
+        return max(mi, 0.0)
+
+    def _cmi_both_discrete(self, x, y, dz, cz) -> float:
+        """x, y discrete with continuous z
+        (reference cmi_general_both_discrete)."""
+        valid = self.df.combined_mask(x, y, *dz, *cz)
+        zidx, zc_n, _ = self._config_index(dz, valid)
+        kx, ky = self._card(x), self._card(y)
+        cx = self.df.codes(x).astype(np.int64)
+        cy = self.df.codes(y).astype(np.int64)
+        xyz_idx = cx + kx * cy + kx * ky * zidx
+        xz_idx = cx + kx * zidx
+        yz_idx = cy + ky * zidx
+        n = int(valid.sum())
+        counts_xyz = np.bincount(xyz_idx[valid], minlength=kx * ky * zc_n)
+        counts_xz = np.bincount(xz_idx[valid], minlength=kx * zc_n)
+        counts_yz = np.bincount(yz_idx[valid], minlength=ky * zc_n)
+        counts_z = np.bincount(zidx[valid], minlength=zc_n)
+        det_xyz = self._grouped_cov_dets(cz, xyz_idx, kx * ky * zc_n, valid)
+        det_xz = self._grouped_cov_dets(cz, xz_idx, kx * zc_n, valid)
+        det_yz = self._grouped_cov_dets(cz, yz_idx, ky * zc_n, valid)
+        det_z = self._grouped_cov_dets(cz, zidx, zc_n, valid)
+        mi = 0.0
+        dcz = len(cz)
+        for k in range(zc_n):
+            if counts_z[k] == 0:
+                continue
+            pz = counts_z[k] / n
+            for i in range(kx):
+                for j in range(ky):
+                    idx = k * kx * ky + j * kx + i
+                    cnt = counts_xyz[idx]
+                    if cnt == 0:
+                        continue
+                    pxyz = cnt / n
+                    pxz = counts_xz[k * kx + i] / n
+                    pyz = counts_yz[k * ky + j] / n
+                    h_xyz = entropy_mvn(dcz, det_xyz[idx])
+                    term = math.log(pz * pxyz / (pxz * pyz))
+                    if math.isfinite(h_xyz):
+                        term -= h_xyz
+                    mi += pxyz * term
+            for i in range(kx):
+                cnt = counts_xz[k * kx + i]
+                if cnt == 0:
+                    continue
+                h_xz = entropy_mvn(dcz, det_xz[k * kx + i])
+                if math.isfinite(h_xz):
+                    mi += (cnt / n) * h_xz
+            for j in range(ky):
+                cnt = counts_yz[k * ky + j]
+                if cnt == 0:
+                    continue
+                h_yz = entropy_mvn(dcz, det_yz[k * ky + j])
+                if math.isfinite(h_yz):
+                    mi += (cnt / n) * h_yz
+            h_z = entropy_mvn(dcz, det_z[k])
+            if math.isfinite(h_z):
+                mi -= pz * h_z
+        return max(mi, 0.0)
+
+    # --------------------------------------------------- degrees of freedom
+    def _calculate_df(self, x, y, dz, cz) -> float:
+        """(reference mutual_information.cpp df functions)."""
+        llz = 1
+        for v in dz:
+            llz *= self._card(v)
+        zc = len(cz)
+        xd = self.df.is_discrete(x)
+        yd = self.df.is_discrete(y)
+        if xd and yd:
+            llx, lly = self._card(x), self._card(y)
+            if not dz and not cz:
+                return (llx - 1) * (lly - 1)
+            if self.asymptotic_df:
+                return (llx - 1) * (lly - 1) * llz * (1 + 0.5 * zc * (zc + 3))
+            return (llx - 1) * (lly - 1) * llz * (1 + 0.5 * zc * (zc + 1))
+        if xd or yd:
+            lld = self._card(x if xd else y)
+            if not dz and not cz:
+                return (lld - 1) * 2 if self.asymptotic_df else (lld - 1)
+            if self.asymptotic_df:
+                return (lld - 1) * llz * (zc + 2)
+            return (lld - 1) * llz * (zc + 1)
+        if not dz and not cz:
+            return 1
+        return llz
+
+    # --------------------------------------------------------------- pvalue
+    def pvalue(self, x: str, y: str, *z) -> float:
+        z = list(z[0]) if len(z) == 1 and not isinstance(z[0], str) else list(z)
+        mi_value = self.mi(x, y, *z)
+        n = self.df.valid_rows(x, y, *z)
+        dz, cz = self._split_z(z)
+        dof = self._calculate_df(x, y, dz, cz)
+        return float(chi2.sf(2.0 * n * mi_value, dof))
+
+
+class DynamicMutualInformation(DynamicIndependenceTest):
+    test_cls = MutualInformation

@@ -1,0 +1,139 @@
+"""CMIknn: k-NN (conditional) mutual information test with local permutation
+p-values (Runge 2018).
+
+Rebuild of reference learning/independences/continuous/mutual_information.
+{hpp,cpp}: rank-transform data once, Kraskov-style CMI estimator, p-value =
+fraction of (locally) shuffled estimates ≥ the observed one. TPU-first: all
+``samples`` permutations evaluate in one jitted device loop over cached
+pairwise distances (:mod:`pybnesian_tpu.ops.knn`) instead of the reference's
+per-permutation kd-tree rebuilds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ...data import DataFrame
+from .base import DynamicIndependenceTest, IndependenceTest
+
+__all__ = ["KMutualInformation", "DynamicKMutualInformation", "rank_data"]
+
+
+def rank_data(mat: np.ndarray) -> np.ndarray:
+    """Per-column 0-based ordinal ranks (reference
+    mutual_information.hpp:16-54)."""
+    out = np.empty_like(mat, dtype=np.float64)
+    for j in range(mat.shape[1]):
+        order = np.argsort(mat[:, j], kind="stable")
+        out[order, j] = np.arange(len(mat))
+    return out
+
+
+class KMutualInformation(IndependenceTest):
+    def __init__(self, df, k: int, seed: int | None = None,
+                 shuffle_neighbors: int = 5, samples: int = 1000):
+        self.df = DataFrame.wrap(df)
+        self.k = int(k)
+        self.seed = seed if seed is not None else 0
+        self.shuffle_neighbors = int(shuffle_neighbors)
+        self.samples = int(samples)
+        cols = self.df.column_names()
+        mat = self.df.to_numpy(cols, drop_null=False, dtype=np.float64)
+        self._ranked = rank_data(mat)
+        self._pos = {c: i for i, c in enumerate(cols)}
+
+    def variable_names(self) -> list[str]:
+        return self.df.column_names()
+
+    # ------------------------------------------------------------------- mi
+    def mi(self, x: str, y: str, *z: str) -> float:
+        z = list(z[0]) if len(z) == 1 and not isinstance(z[0], str) else list(z)
+        import jax.numpy as jnp
+
+        from ...ops.knn import cmi_knn_conditional, cmi_knn_pair
+
+        xr = jnp.asarray(self._ranked[:, self._pos[x]])
+        yr = jnp.asarray(self._ranked[:, self._pos[y]])
+        if not z:
+            return float(cmi_knn_pair(xr, yr, self.k))
+        dz = jnp.asarray(self._z_distances(z))
+        return float(cmi_knn_conditional(xr, yr, dz, self.k))
+
+    def _z_distances(self, z) -> np.ndarray:
+        zr = self._ranked[:, [self._pos[e] for e in z]]
+        return np.max(np.abs(zr[:, None, :] - zr[None, :, :]), axis=2)
+
+    # -------------------------------------------------------------- pvalue
+    def pvalue(self, x: str, y: str, *z: str) -> float:
+        z = list(z[0]) if len(z) == 1 and not isinstance(z[0], str) else list(z)
+        import jax.numpy as jnp
+
+        from ...ops.knn import cmi_knn_conditional_batch, cmi_knn_pair_batch
+
+        rng = np.random.default_rng(self.seed)
+        xr = self._ranked[:, self._pos[x]]
+        yr = jnp.asarray(self._ranked[:, self._pos[y]])
+        n = len(xr)
+
+        if not z:
+            original = self.mi(x, y)
+            perms = np.stack(
+                [rng.permutation(xr) for _ in range(self.samples)]
+            )
+            shuffled = np.asarray(
+                cmi_knn_pair_batch(jnp.asarray(perms), yr, self.k)
+            )
+            return float(np.mean(shuffled >= original))
+
+        original = self.mi(x, y, *z)
+        dz = self._z_distances(z)
+        # nearest z-neighbours for the local shuffle (excluding self)
+        order = np.argsort(dz, axis=1, kind="stable")
+        neighbors = np.empty((n, self.shuffle_neighbors), dtype=np.int64)
+        for i in range(n):
+            row = order[i]
+            row = row[row != i][: self.shuffle_neighbors]
+            neighbors[i] = row
+        perms = np.stack(
+            [
+                self._local_shuffle(xr, neighbors, rng)
+                for _ in range(self.samples)
+            ]
+        )
+        shuffled = np.asarray(
+            cmi_knn_conditional_batch(
+                jnp.asarray(perms), yr, jnp.asarray(dz), self.k
+            )
+        )
+        return float(np.mean(shuffled >= original))
+
+    def _local_shuffle(self, x_rank: np.ndarray, neighbors: np.ndarray,
+                       rng) -> np.ndarray:
+        """Permute x within z-neighbourhoods, then re-rank
+        (reference shuffle_dataframe, mutual_information.hpp:119-160)."""
+        n = len(x_rank)
+        shuffled = np.empty(n)
+        used = np.zeros(n, dtype=bool)
+        order = rng.permutation(n)
+        m = neighbors.shape[1]
+        for idx in order:
+            cand = neighbors[idx][rng.permutation(m)]
+            pick = cand[-1]
+            for c in cand:
+                if not used[c]:
+                    pick = c
+                    break
+            if used[pick]:
+                shuffled[idx] = x_rank[pick] + rng.uniform(-0.4, 0.4)
+            else:
+                shuffled[idx] = x_rank[pick]
+            used[pick] = True
+        # re-rank to integers
+        out = np.empty(n)
+        order2 = np.argsort(shuffled, kind="stable")
+        out[order2] = np.arange(n)
+        return out
+
+
+class DynamicKMutualInformation(DynamicIndependenceTest):
+    test_cls = KMutualInformation

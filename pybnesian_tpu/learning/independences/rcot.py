@@ -1,0 +1,167 @@
+"""RCoT: randomized conditional correlation test (Strobl et al. 2019).
+
+Rebuild of reference learning/independences/continuous/RCoT.{hpp,cpp}:
+random Fourier features (5 for x/y, 100 for z by default), median-heuristic
+kernel widths (rf_sigma_impl, RCoT.hpp:16-41), residualisation of the x/y
+features against z, statistic = N·‖cov(resid_x, resid_y)‖², null distribution
+= weighted χ² sum via LPB4 with HBE fallback (RCoT.hpp:340-395).
+The feature products and eigenvalues run as dense matrix algebra — on device
+this is a handful of (N × 100) matmuls, MXU-friendly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ...data import DataFrame
+from ...utils.chisquaresum import hbe_complement, lpb4_complement
+from .base import DynamicIndependenceTest, IndependenceTest
+
+__all__ = ["RCoT", "DynamicRCoT"]
+
+
+def rf_sigma(m: np.ndarray) -> float:
+    """Median pairwise distance over the first min(500, n) rows
+    (reference rf_sigma_impl)."""
+    if m.ndim == 1:
+        m = m[:, None]
+    r = min(500, len(m))
+    sub = m[:r]
+    d = np.sqrt(
+        np.maximum(
+            ((sub[:, None, :] - sub[None, :, :]) ** 2).sum(-1), 0.0
+        )
+    )
+    iu = np.triu_indices(r, k=1)
+    med = float(np.median(d[iu]))
+    return med if med != 0 else 1.0
+
+
+def random_fourier_features(m: np.ndarray, sigma: float, num_features: int,
+                            rng) -> np.ndarray:
+    """√2·cos(mW/σ + b) with W ~ N(0,1), b ~ U(0, 2π)
+    (reference RCoT.hpp:209-241)."""
+    if m.ndim == 1:
+        m = m[:, None]
+    W = rng.standard_normal((m.shape[1], num_features)) / sigma
+    b = rng.uniform(0, 2 * np.pi, num_features)
+    return np.sqrt(2.0) * np.cos(m @ W + b[None, :])
+
+
+def _normalize_cols(f: np.ndarray) -> np.ndarray:
+    mean = f.mean(axis=0, keepdims=True)
+    sd = f.std(axis=0, ddof=1, keepdims=True)
+    sd[sd == 0] = 1.0
+    return (f - mean) / sd
+
+
+def _cov(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    ac = a - a.mean(axis=0, keepdims=True)
+    bc = b - b.mean(axis=0, keepdims=True)
+    return ac.T @ bc / (len(a) - 1)
+
+
+def _product_eigs(feat_x: np.ndarray, feat_y: np.ndarray) -> np.ndarray:
+    """Eigenvalues of the covariance of the elementwise feature products
+    (reference eigenvalues_covariance_impl, RCoT.hpp:244-262)."""
+    n = len(feat_x)
+    prod = (feat_x[:, :, None] * feat_y[:, None, :]).reshape(n, -1)
+    centred = prod - prod.mean(axis=0, keepdims=True)
+    cov = centred.T @ centred / n
+    return np.linalg.eigvalsh(cov)
+
+
+def _pvalue_from_eigs(eigs: np.ndarray, sta: float) -> float:
+    pos = eigs[eigs > 0]
+    if len(pos) < 4:
+        return max(hbe_complement(pos, sta), 0.0)
+    try:
+        return max(lpb4_complement(pos, sta), 0.0)
+    except Exception:
+        return max(hbe_complement(pos, sta), 0.0)
+
+
+class RCoT(IndependenceTest):
+    def __init__(self, df, random_fourier_xy: int = 5,
+                 random_fourier_z: int = 100, seed: int | None = None):
+        self.df = DataFrame.wrap(df)
+        self.num_xy = int(random_fourier_xy)
+        self.num_z = int(random_fourier_z)
+        self._rng = np.random.default_rng(seed)
+        for c in self.df.column_names():
+            if not self.df.is_continuous(c):
+                raise ValueError(
+                    f"Column '{c}' is not continuous; RCoT requires "
+                    "continuous data."
+                )
+
+    def variable_names(self) -> list[str]:
+        return self.df.column_names()
+
+    def _col(self, name, mask):
+        return self.df.to_numpy([name], drop_null=False, dtype=np.float64)[
+            mask, 0
+        ]
+
+    def pvalue(self, x: str, y: str, *z) -> float:
+        z = list(z[0]) if len(z) == 1 and not isinstance(z[0], str) else list(z)
+        mask = self.df.combined_mask(x, y, *z)
+        xv = self._col(x, mask)
+        yv = self._col(y, mask)
+        if xv.var() == 0 or yv.var() == 0:
+            return 1.0
+        if z:
+            zmat = np.column_stack([self._col(e, mask) for e in z])
+            # drop constant z columns (reference RCoT.cpp:95-115)
+            keep = zmat.var(axis=0) > 0
+            zmat = zmat[:, keep]
+            if zmat.shape[1] > 0:
+                return self._test_with_z(xv, yv, zmat)
+        return self._rit(xv, yv)
+
+    def _rit(self, x: np.ndarray, y: np.ndarray) -> float:
+        """(reference RIT_impl, RCoT.hpp:288-317)."""
+        n = len(x)
+        fx = _normalize_cols(
+            random_fourier_features(x, rf_sigma(x), self.num_xy, self._rng)
+        )
+        fy = _normalize_cols(
+            random_fourier_features(y, rf_sigma(y), self.num_xy, self._rng)
+        )
+        cxy = _cov(fx, fy)
+        sta = n * float(np.sum(cxy**2))
+        eigs = _product_eigs(fx, fy)
+        return _pvalue_from_eigs(eigs, sta)
+
+    def _test_with_z(self, x: np.ndarray, y: np.ndarray, z: np.ndarray) -> float:
+        """(reference TestWithZ_impl, RCoT.hpp:340-395)."""
+        n = len(x)
+        fx = _normalize_cols(
+            random_fourier_features(x, rf_sigma(x), self.num_xy, self._rng)
+        )
+        fy = _normalize_cols(
+            random_fourier_features(y, rf_sigma(y), self.num_xy, self._rng)
+        )
+        fz = _normalize_cols(
+            random_fourier_features(z, rf_sigma(z), self.num_z, self._rng)
+        )
+        cxy = _cov(fx, fy)
+        czz = _cov(fz, fz)
+        czz[np.diag_indices_from(czz)] += 1e-10
+        i_czz = np.linalg.inv(czz)
+        cxz = _cov(fx, fz)
+        czy = _cov(fz, fy)
+        z_i_czz = fz @ i_czz
+        rx = fx - z_i_czz @ cxz.T
+        ry = fy - z_i_czz @ czy
+        cxy_z = cxy - cxz @ i_czz @ czy
+        sta = n * float(np.sum(cxy_z**2))
+        eigs = _product_eigs(rx, ry)
+        if self.num_z == 1:
+            pos = eigs[eigs > 0]
+            return max(hbe_complement(pos, sta), 0.0)
+        return _pvalue_from_eigs(eigs, sta)
+
+
+class DynamicRCoT(DynamicIndependenceTest):
+    test_cls = RCoT

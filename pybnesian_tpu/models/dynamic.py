@@ -1,0 +1,291 @@
+"""Dynamic Bayesian networks: static BN over past slices + conditional
+transition BN.
+
+Rebuild of reference models/DynamicBayesianNetwork.{hpp,cpp} (669 LoC):
+the static BN covers variables ``v_t_1..v_t_m``; the transition BN is a
+conditional BN with nodes ``v_t_0`` given interface ``v_t_1..v_t_m``; both
+share one BayesianNetworkType. logl routes the first ``m`` rows to the static
+BN (one instance built from them) and the rest through the transition BN's
+shifted windows (DynamicBayesianNetwork.cpp:71-150); sampling seeds ``m``
+rows from the static BN then rolls the transition model forward.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..data import DataFrame
+from ..data.dynamic import (
+    DynamicDataFrame,
+    create_static_df,
+    create_temporal_slices,
+    create_transition_df,
+)
+from ..utils import temporal_name, temporal_names
+from .base import BayesianNetworkType, ConditionalBayesianNetwork
+from .networks import (
+    CLGNetworkType,
+    DiscreteBNType,
+    GaussianNetworkType,
+    HeterogeneousBNType,
+    HomogeneousBNType,
+    KDENetworkType,
+    SemiparametricBNType,
+)
+
+__all__ = [
+    "DynamicBayesianNetwork",
+    "DynamicGaussianNetwork",
+    "DynamicDiscreteBN",
+    "DynamicKDENetwork",
+    "DynamicSemiparametricBN",
+    "DynamicCLGNetwork",
+    "DynamicHomogeneousBN",
+    "DynamicHeterogeneousBN",
+]
+
+
+class DynamicBayesianNetwork:
+    def __init__(self, type_or_variables, variables_or_order=None,
+                 markovian_order=None, static_bn=None, transition_bn=None):
+        # Accept (type, variables, markovian_order) or (variables, order) with
+        # explicit networks (reference exposes both ctors).
+        if isinstance(type_or_variables, BayesianNetworkType):
+            bn_type = type_or_variables
+            variables = list(variables_or_order)
+            m = int(markovian_order)
+        else:
+            variables = list(type_or_variables)
+            m = int(variables_or_order)
+            if static_bn is None or transition_bn is None:
+                raise ValueError(
+                    "Either a BayesianNetworkType or explicit static and "
+                    "transition networks are required"
+                )
+            bn_type = transition_bn.type()
+        self._variables = variables
+        self._markovian_order = m
+        self._type = bn_type
+        if static_bn is not None:
+            self._static = static_bn
+        else:
+            self._static = bn_type.new_bn(temporal_names(variables, 1, m))
+        if transition_bn is not None:
+            self._transition = transition_bn
+        else:
+            self._transition = bn_type.new_cbn(
+                temporal_names(variables, 0, 0), temporal_names(variables, 1, m)
+            )
+        if not isinstance(self._transition, ConditionalBayesianNetwork):
+            raise ValueError("transition_bn must be a conditional BN")
+
+    # ------------------------------------------------------------- surface
+    def type(self) -> BayesianNetworkType:
+        return self._type
+
+    def variables(self) -> list[str]:
+        return list(self._variables)
+
+    def markovian_order(self) -> int:
+        return self._markovian_order
+
+    def num_variables(self) -> int:
+        return len(self._variables)
+
+    def static_bn(self):
+        return self._static
+
+    def transition_bn(self):
+        return self._transition
+
+    def clone(self) -> "DynamicBayesianNetwork":
+        new = DynamicBayesianNetwork.__new__(DynamicBayesianNetwork)
+        new._variables = list(self._variables)
+        new._markovian_order = self._markovian_order
+        new._type = self._type
+        new._static = self._static.clone()
+        new._transition = self._transition.clone()
+        return new
+
+    def fitted(self) -> bool:
+        return self._static.fitted() and self._transition.fitted()
+
+    def _check_fitted(self):
+        if not self.fitted():
+            raise ValueError("DynamicBayesianNetwork not fitted.")
+
+    # ------------------------------------------------------------------ fit
+    def fit(self, df, construction_args=None) -> None:
+        ddf = df if isinstance(df, DynamicDataFrame) else DynamicDataFrame(
+            df, self._markovian_order
+        )
+        self._static.fit(ddf.static_df(), construction_args)
+        self._transition.fit(ddf.transition_df(), construction_args)
+
+    # ------------------------------------------------------------ likelihood
+    def logl(self, df) -> np.ndarray:
+        """(reference DynamicBayesianNetwork.cpp:71-113)."""
+        self._check_fitted()
+        df = DataFrame.wrap(df)
+        m = self._markovian_order
+        if df.num_rows < m:
+            raise ValueError(
+                f"Not enough information. There are less rows in test "
+                f"DataFrame ({df.num_rows}) than the markovian order of the "
+                f"DynamicBayesianNetwork ({m})"
+            )
+        ll = np.zeros(df.num_rows)
+        head = df.take(np.arange(m))
+        dstatic = create_static_df(head, m)
+        for i in range(m):
+            for v in self._variables:
+                cpd = self._static.cpd(temporal_name(v, m - i))
+                ll[i] += cpd.slogl(dstatic)
+        slices = create_temporal_slices(df, m)
+        dtransition = create_transition_df(slices)
+        for v in self._variables:
+            cpd = self._transition.cpd(temporal_name(v, 0))
+            vll = np.asarray(cpd.logl(dtransition))
+            ll[m:] += vll
+        return ll
+
+    def slogl(self, df) -> float:
+        return float(np.nansum(self.logl(df)))
+
+    # ---------------------------------------------------------------- sample
+    def sample(self, n: int, seed: int | None = None) -> DataFrame:
+        """Static BN seeds the first m rows; the transition model rolls
+        forward one row at a time (reference DynamicBayesianNetwork.cpp)."""
+        self._check_fitted()
+        m = self._markovian_order
+        if n < m:
+            raise ValueError("n must be at least the markovian order")
+        static_sample = self._static.sample(1, seed=seed).to_pandas()
+        import pandas as pd
+
+        series = {v: [] for v in self._variables}
+        for i in range(m):
+            # row i corresponds to slice m - i
+            for v in self._variables:
+                series[v].append(static_sample[temporal_name(v, m - i)].iloc[0])
+        base_seed = 0 if seed is None else seed
+        for t in range(m, n):
+            # build a single-row evidence frame with slices 1..m
+            ev_data = {}
+            for s in range(1, m + 1):
+                for v in self._variables:
+                    val = series[v][t - s]
+                    ev_data[temporal_name(v, s)] = self._as_column(v, [val])
+            ev = DataFrame.wrap(ev_data)
+            row = self._transition.sample(
+                1, evidence=ev, seed=base_seed + t
+            ).to_pandas()
+            for v in self._variables:
+                series[v].append(row[temporal_name(v, 0)].iloc[0])
+        out = {}
+        for v in self._variables:
+            col = self._static.cpd(temporal_name(v, 1))
+            out[v] = self._to_series(v, series[v])
+        return DataFrame.wrap(out)
+
+    def _as_column(self, variable, values):
+        cats = self._categories(variable)
+        if cats is not None:
+            import pandas as pd
+
+            return pd.Categorical(values, categories=list(cats))
+        return np.asarray(values, dtype=np.float64)
+
+    def _to_series(self, variable, values):
+        return self._as_column(variable, values)
+
+    def _categories(self, variable):
+        from ..factors.discrete import DiscreteFactor
+
+        name = temporal_name(variable, 0)
+        try:
+            cpd = self._transition.cpd(name)
+        except ValueError:
+            return None
+        if isinstance(cpd, DiscreteFactor):
+            return cpd.variable_categories()
+        return None
+
+    # ---------------------------------------------------------------- string
+    def ToString(self) -> str:
+        return (
+            f"DynamicBayesianNetwork [{self._type.ToString()}] "
+            f"({len(self._variables)} variables, markovian_order="
+            f"{self._markovian_order})"
+        )
+
+    def __str__(self) -> str:
+        return self.ToString()
+
+    def __repr__(self) -> str:
+        return self.ToString()
+
+    # --------------------------------------------------------------- pickle
+    def save(self, filename: str, include_cpd: bool = False) -> None:
+        from ..utils.pickle import save_object
+
+        prev_s = getattr(self._static, "include_cpd", False)
+        prev_t = getattr(self._transition, "include_cpd", False)
+        self._static.include_cpd = include_cpd
+        self._transition.include_cpd = include_cpd
+        try:
+            save_object(self, filename)
+        finally:
+            self._static.include_cpd = prev_s
+            self._transition.include_cpd = prev_t
+
+    def __getstate__(self):
+        return {
+            "variables": self._variables,
+            "markovian_order": self._markovian_order,
+            "type": self._type,
+            "static": self._static,
+            "transition": self._transition,
+        }
+
+    def __setstate__(self, state):
+        self._variables = state["variables"]
+        self._markovian_order = state["markovian_order"]
+        self._type = state["type"]
+        self._static = state["static"]
+        self._transition = state["transition"]
+
+
+def _dynamic_wrapper(name, type_factory):
+    class _Dynamic(DynamicBayesianNetwork):
+        def __init__(self, variables, markovian_order, *args):
+            super().__init__(type_factory(*args), variables, markovian_order)
+
+    _Dynamic.__name__ = name
+    _Dynamic.__qualname__ = name
+    return _Dynamic
+
+
+DynamicGaussianNetwork = _dynamic_wrapper(
+    "DynamicGaussianNetwork", GaussianNetworkType
+)
+DynamicDiscreteBN = _dynamic_wrapper("DynamicDiscreteBN", DiscreteBNType)
+DynamicKDENetwork = _dynamic_wrapper("DynamicKDENetwork", KDENetworkType)
+DynamicSemiparametricBN = _dynamic_wrapper(
+    "DynamicSemiparametricBN", SemiparametricBNType
+)
+DynamicCLGNetwork = _dynamic_wrapper("DynamicCLGNetwork", CLGNetworkType)
+
+
+class DynamicHomogeneousBN(DynamicBayesianNetwork):
+    def __init__(self, factor_type, variables, markovian_order):
+        super().__init__(
+            HomogeneousBNType(factor_type), variables, markovian_order
+        )
+
+
+class DynamicHeterogeneousBN(DynamicBayesianNetwork):
+    def __init__(self, default_factor_types, variables, markovian_order):
+        super().__init__(
+            HeterogeneousBNType(default_factor_types), variables, markovian_order
+        )

@@ -181,6 +181,37 @@ def kde_cv_slogl(tr, te, tr_mask, te_mask, ln, chunk=256):
     return jnp.sum(jax.vmap(fold)(tr, te, tr_mask, te_mask, ln))
 
 
+@partial(jax.jit, static_argnames=("chunk",))
+def ucv_pair_sums(train_white, valid, chunk=512):
+    """(Σ_{i<j} exp(−¼‖wᵢ−wⱼ‖²), Σ_{i<j} exp(−½‖wᵢ−wⱼ‖²)) over the pair
+    triangle of whitened training points — the UCV leave-one-out terms for
+    bandwidths 2H and H from ONE pairwise-distance computation (the reference
+    computes the triangle with dedicated sum_ucv kernels, kde/UCV.cpp and
+    KDE.cl.src:471-565). train_white: (Npad, d) with rows padded;
+    valid: (Npad,) 0/1."""
+    d = train_white.shape[1]
+    npad = train_white.shape[0]
+    tn = jnp.sum(jnp.square(train_white), axis=1)
+    row_ids = jnp.arange(npad)
+
+    def body(start):
+        tc = jax.lax.dynamic_slice(train_white, (start * chunk, 0), (chunk, d))
+        ids = jax.lax.dynamic_slice(row_ids, (start * chunk,), (chunk,))
+        vc = jax.lax.dynamic_slice(valid, (start * chunk,), (chunk,))
+        cross = _dot(tc, train_white.T)
+        d2 = jnp.sum(jnp.square(tc), axis=1)[:, None] - 2.0 * cross + tn[None, :]
+        pair_mask = (ids[:, None] < row_ids[None, :]) & (vc[:, None] > 0) & (
+            valid[None, :] > 0
+        )
+        s2h = jnp.sum(jnp.where(pair_mask, jnp.exp(-0.25 * d2), 0.0))
+        sh = jnp.sum(jnp.where(pair_mask, jnp.exp(-0.5 * d2), 0.0))
+        return s2h, sh
+
+    n_chunks = npad // chunk
+    s2h, sh = jax.lax.map(body, jnp.arange(n_chunks))
+    return jnp.sum(s2h), jnp.sum(sh)
+
+
 @jax.jit
 def gumbel_categorical(key, logits):
     """Row-wise categorical sample via Gumbel-max — the TPU replacement for

@@ -1,0 +1,177 @@
+"""CDF approximations for weighted sums of χ²₁ random variables.
+
+Rebuild of reference util/chisquaresum.hpp (308 LoC): the Lindsay–Pilla–Basak
+four-moment gamma-mixture approximation (``lpb4``) and the
+Hall–Buckley–Eagleson approximation (``hbe``), used by RCoT p-values.
+The reference's Jenkins–Traub polynomial solver (util/rpoly.cpp) is replaced
+by numpy's companion-matrix eigenvalue roots; the Brent root bracketing
+(util/uniroot.hpp) by scipy.optimize.brentq.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from scipy.special import comb
+from scipy.stats import gamma as gamma_dist
+
+__all__ = ["lpb4_complement", "hbe_complement", "lpb4", "hbe"]
+
+
+def _moments(coeffs: np.ndarray, p: int) -> np.ndarray:
+    """First 2p moments from the cumulants of Σ λ_i χ²₁
+    (reference chisquaresum.hpp:18-45)."""
+    n = 2 * p
+    cumulants = np.empty(n)
+    cumulants[0] = coeffs.sum()
+    cumulants[1] = 2 * np.sum(coeffs**2)
+    fact = 8.0
+    for i in range(2, n):
+        cumulants[i] = fact * np.sum(coeffs ** (i + 1))
+        fact *= 2 * (i + 1)
+    moments = cumulants.copy()
+    moments[1] += moments[0] * moments[0]
+    for i in range(2, n):
+        offset = cumulants[0] * moments[i - 1] + i * cumulants[1] * moments[i - 2]
+        for j in range(2, i):
+            offset += comb(i, j, exact=True) * cumulants[j] * moments[i - j - 1]
+        moments[i] += offset
+    return moments
+
+
+def _delta_matrix(moments: np.ndarray, size: int) -> np.ndarray:
+    """(reference delta_matrix_template, chisquaresum.hpp:47-75)."""
+    t = np.empty((size, size))
+    t[0, 0] = 1
+    t[0, 1] = t[1, 0] = moments[0]
+    for i in range(2, size):
+        t[i, 0] = moments[i - 1]
+    for i in range(1, size):
+        t[i, 1] = moments[i]
+    for j in range(2, size):
+        for i in range(size):
+            t[i, j] = moments[i + j - 1]
+    return t
+
+
+def _mult_coefficients(alpha: float, size: int) -> np.ndarray:
+    max_r = 2 * size - 2
+    mult = np.empty(max_r - 1)
+    mult[0] = 1 + alpha
+    for i in range(1, max_r - 1):
+        mult[i] = mult[i - 1] * (1 + (i + 1) * alpha)
+    return 1.0 / mult
+
+
+def _apply_mult(delta: np.ndarray, mult: np.ndarray) -> np.ndarray:
+    p = delta.shape[0]
+    out = delta.copy()
+    for i in range(2, p):
+        out[i, 0] *= mult[i - 2]
+    for i in range(1, p):
+        out[i, 1] *= mult[i - 1]
+    for j in range(2, p):
+        for i in range(p):
+            out[i, j] *= mult[i + j - 2]
+    return out
+
+
+def _lambda_tilde(moments: np.ndarray, p: int) -> float:
+    """(reference chisquaresum.hpp:126-138)."""
+    from scipy.optimize import brentq
+
+    last_lambda = moments[1] / (moments[0] * moments[0]) - 1
+    for i in range(2, p + 1):
+        matrix = _delta_matrix(moments, i + 1)
+
+        def det_fn(alpha):
+            return np.linalg.det(_apply_mult(matrix, _mult_coefficients(alpha, i + 1)))
+
+        last_lambda = brentq(det_fn, 0.0, last_lambda, xtol=1e-9, maxiter=1000)
+    return last_lambda
+
+
+def _mu_roots(moments: np.ndarray, lam: float, p: int) -> np.ndarray:
+    """(reference chisquaresum.hpp:140-168)."""
+    M = _apply_mult(_delta_matrix(moments, p + 1), _mult_coefficients(lam, p + 1))
+    M = M.copy()
+    M[:, p] = 0.0
+    poly = np.empty(p + 1)
+    for i in range(p, -1, -1):
+        M[i, p] = 1.0
+        poly[p - i] = np.linalg.det(M)
+        M[i, p] = 0.0
+    roots = np.roots(poly)
+    real = roots[np.abs(roots.imag) < 1e-8].real
+    if len(real) < p:
+        raise RuntimeError("Complex roots in LPB4 mixture support")
+    return np.sort(real)[:p]
+
+
+def _mixture_proportions(mu: np.ndarray, moments: np.ndarray, lam: float, p: int) -> np.ndarray:
+    """(reference chisquaresum.hpp:170-202)."""
+    vander = np.vstack([mu**i for i in range(p)])
+    delta_vec = np.empty(p)
+    delta_vec[0] = 1
+    delta_vec[1] = moments[0]
+    delta_vec[2] = moments[1] / (1 + lam)
+    delta_vec[3] = moments[2] / ((1 + lam) * (1 + 2 * lam))
+    mult = (1 + lam) * (1 + 2 * lam)
+    for i in range(4, p):
+        mult *= 1 + (i - 1) * lam
+        delta_vec[i] = moments[i - 1] / mult
+    return np.linalg.lstsq(vander, delta_vec, rcond=None)[0]
+
+
+def _lpb4_parts(coeffs: np.ndarray):
+    coeffs = np.asarray(coeffs, dtype=np.float64)
+    if len(coeffs) < 4:
+        raise ValueError("lpb4 requires at least 4 coefficients.")
+    p = 4
+    moments = _moments(coeffs, p)
+    lam = _lambda_tilde(moments, p)
+    mu = _mu_roots(moments, lam, p)
+    prop = _mixture_proportions(mu, moments, lam, p)
+    return prop, mu, lam
+
+
+def lpb4(coeffs, quantile: float) -> float:
+    prop, mu, lam = _lpb4_parts(coeffs)
+    k = 1.0 / lam
+    theta = mu * lam
+    if np.any(theta <= 0):
+        raise RuntimeError("Wrong theta parameter.")
+    return float(np.sum(prop * gamma_dist.cdf(quantile, k, scale=theta)))
+
+
+def lpb4_complement(coeffs, quantile: float) -> float:
+    prop, mu, lam = _lpb4_parts(coeffs)
+    k = 1.0 / lam
+    theta = mu * lam
+    if np.any(theta <= 0):
+        raise RuntimeError("Wrong theta parameter.")
+    return float(np.sum(prop * gamma_dist.sf(quantile, k, scale=theta)))
+
+
+def _hbe_parts(coeffs):
+    coeffs = np.asarray(coeffs, dtype=np.float64)
+    k1 = coeffs.sum()
+    sq = coeffs**2
+    k2 = 2 * sq.sum()
+    k3 = 8 * float(coeffs @ sq)
+    nu = 8 * (k2**3) / (k3 * k3)
+    return k1, k2, nu
+
+
+def hbe(coeffs, quantile: float) -> float:
+    """(reference chisquaresum.hpp:274-289)."""
+    k1, k2, nu = _hbe_parts(coeffs)
+    statistic = math.sqrt(2 * nu / k2) * (quantile - k1) + nu
+    return float(gamma_dist.cdf(statistic, nu / 2.0, scale=2.0))
+
+
+def hbe_complement(coeffs, quantile: float) -> float:
+    k1, k2, nu = _hbe_parts(coeffs)
+    statistic = math.sqrt(2 * nu / k2) * (quantile - k1) + nu
+    return float(gamma_dist.sf(statistic, nu / 2.0, scale=2.0))
