@@ -1,0 +1,175 @@
+"""Multi-chip sharding layer: mesh construction + SPMD score/likelihood
+kernels.
+
+The reference has no distributed backend at all (SURVEY.md §2.13 — one OpenCL
+device, one in-order queue). This module is the net-new TPU-native
+replacement: a (data, fam) mesh shards data rows and candidate families;
+XLA collectives (psum) combine per-shard sufficient statistics over ICI.
+Works identically on a single chip, a v5e/v5p slice, or a multi-host pod
+(jax.distributed + the same Mesh).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from ..ops.gaussian import LOG_2PI, _MACHINE_TOL, lg_params_from_gram
+
+try:  # jax>=0.6 moved shard_map to jax.shard_map
+    from jax import shard_map as _shard_map_mod
+
+    shard_map = _shard_map_mod
+except ImportError:
+    from jax.experimental.shard_map import shard_map
+
+__all__ = [
+    "make_mesh",
+    "data_fam_mesh",
+    "sharded_batched_bic",
+    "sharded_lg_fit",
+    "sharded_kde_slogl",
+]
+
+
+def make_mesh(axis_sizes: dict, devices=None) -> Mesh:
+    """Mesh over the available devices, e.g. make_mesh({"data": 4, "fam": 2})."""
+    devices = devices if devices is not None else jax.devices()
+    names = tuple(axis_sizes.keys())
+    shape = tuple(axis_sizes.values())
+    total = int(np.prod(shape))
+    if total > len(devices):
+        raise ValueError(
+            f"Mesh of {total} devices requested but only {len(devices)} "
+            "available"
+        )
+    dev_array = np.asarray(devices[:total]).reshape(shape)
+    return Mesh(dev_array, names)
+
+
+def data_fam_mesh(n_devices: int | None = None, fam: int = 1) -> Mesh:
+    """Default 2-D (data, fam) mesh using all devices."""
+    n = n_devices if n_devices is not None else len(jax.devices())
+    if n % fam != 0:
+        raise ValueError("fam axis must divide the device count")
+    return make_mesh({"data": n // fam, "fam": fam})
+
+
+def _local_family_gram(values, valid, vi, pi, pm):
+    y = values[:, vi]
+    X = values[:, pi] * pm[None, :]
+    w = valid[:, vi] * jnp.prod(
+        jnp.where(pm[None, :] > 0, valid[:, pi], 1.0), axis=1
+    )
+    ones = jnp.ones((values.shape[0], 1), values.dtype)
+    design = jnp.concatenate([ones, X, y[:, None]], axis=1)
+    gram = jnp.einsum(
+        "ni,nj->ij", design * w[:, None], design,
+        preferred_element_type=design.dtype,
+    )
+    return gram, jnp.sum(w)
+
+
+def sharded_batched_bic(mesh: Mesh, values, valid, var_idx, parent_idx,
+                        parent_mask):
+    """BIC local scores with rows sharded over the 'data' axis and families
+    over 'fam': per-shard Grams are psum-reduced over ICI, the tiny solves
+    replicate per family shard. Row counts must divide the data axis; family
+    count must divide the fam axis (pad upstream)."""
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P("data", None),
+            P("data", None),
+            P("fam"),
+            P("fam", None),
+            P("fam", None),
+        ),
+        out_specs=P("fam"),
+    )
+    def kernel(v, m, vi, pi, pm):
+        def one(vi_, pi_, pm_):
+            gram, w = _local_family_gram(v, m, vi_, pi_, pm_)
+            gram = jax.lax.psum(gram, "data")
+            n_eff = jax.lax.psum(w, "data")
+            _, variance, _ = lg_params_from_gram(gram, pm_, n_eff)
+            k = jnp.sum(pm_)
+            loglik = (
+                0.5 * (1.0 + k - n_eff)
+                - 0.5 * n_eff * LOG_2PI
+                - 0.5 * n_eff * jnp.log(variance)
+            )
+            score = loglik - 0.5 * jnp.log(n_eff) * (k + 2.0)
+            bad = (variance < _MACHINE_TOL) | ~jnp.isfinite(score)
+            return jnp.where(bad, -jnp.inf, score)
+
+        return jax.vmap(one)(vi, pi, pm)
+
+    return kernel(values, valid, var_idx, parent_idx, parent_mask)
+
+
+def sharded_lg_fit(mesh: Mesh, values, valid, var_idx, parent_idx,
+                   parent_mask):
+    """Fit all families' LinearGaussian parameters on the mesh — the
+    data-parallel parameter-learning step (MLE for the whole network in one
+    SPMD launch)."""
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P("data", None),
+            P("data", None),
+            P("fam"),
+            P("fam", None),
+            P("fam", None),
+        ),
+        out_specs=(P("fam", None), P("fam")),
+    )
+    def kernel(v, m, vi, pi, pm):
+        def one(vi_, pi_, pm_):
+            gram, w = _local_family_gram(v, m, vi_, pi_, pm_)
+            gram = jax.lax.psum(gram, "data")
+            n_eff = jax.lax.psum(w, "data")
+            beta, variance, _ = lg_params_from_gram(gram, pm_, n_eff)
+            return beta, variance
+
+        return jax.vmap(one)(vi, pi, pm)
+
+    return kernel(values, valid, var_idx, parent_idx, parent_mask)
+
+
+def sharded_kde_slogl(mesh: Mesh, train_white, test_white, lognorm):
+    """KDE sum-log-likelihood with training points sharded over 'data':
+    per-shard max (pmax) + shifted exp-sums (psum) implement a numerically
+    stable distributed logsumexp over the training axis."""
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("data", None), P(None, None), P()),
+        out_specs=P(),
+    )
+    def kernel(tr, te, ln):
+        tn = jnp.sum(jnp.square(tr), axis=1)
+        cross = jnp.dot(
+            te, tr.T, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=te.dtype,
+        )
+        d2 = jnp.sum(jnp.square(te), axis=1)[:, None] - 2.0 * cross + tn[None, :]
+        logits = -0.5 * d2
+        local_max = jnp.max(logits, axis=1)
+        global_max = jax.lax.pmax(local_max, "data")
+        sums = jnp.sum(jnp.exp(logits - global_max[:, None]), axis=1)
+        total = jax.lax.psum(sums, "data")
+        ll = global_max + jnp.log(total) + ln
+        return jnp.sum(ll)
+
+    return kernel(train_white, test_white, lognorm)
