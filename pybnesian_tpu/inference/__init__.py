@@ -1,0 +1,21 @@
+"""Posterior inference over Bayesian-network parameters.
+
+Net-new to this framework (the reference defers inference, README.md:110-113;
+BASELINE.json config 5): NUTS/HMC, ADVI and SMC over CPD parameters, with
+chains/particles sharded across the device mesh.
+"""
+
+from .advi import advi
+from .hmc import hmc, nuts, sample_chains, sample_chains_sharded
+from .logdensity import make_logdensity
+from .smc import smc
+
+__all__ = [
+    "make_logdensity",
+    "hmc",
+    "nuts",
+    "sample_chains",
+    "sample_chains_sharded",
+    "advi",
+    "smc",
+]

@@ -1,0 +1,363 @@
+"""Hamiltonian Monte Carlo + NUTS over network parameters.
+
+Net-new subsystem. TPU-first design: the leapfrog integrator, the NUTS tree
+doubling and the warmup adaptation (dual-averaging step size + diagonal mass
+matrix) are pure jittable functions; chains vectorize with vmap and shard
+over a device mesh axis (see :func:`sample_chains_sharded`) so chains/s scale
+with chips over ICI collectives.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["hmc", "nuts", "sample_chains", "sample_chains_sharded"]
+
+
+class DualAveragingState(NamedTuple):
+    log_step: jnp.ndarray
+    log_step_avg: jnp.ndarray
+    h_avg: jnp.ndarray
+    mu: jnp.ndarray
+    count: jnp.ndarray
+
+
+def _da_init(step_size):
+    log_step = jnp.log(step_size)
+    return DualAveragingState(
+        log_step, jnp.zeros_like(log_step), jnp.zeros_like(log_step),
+        jnp.log(10.0) + log_step, jnp.zeros_like(log_step),
+    )
+
+
+def _da_update(state, accept_prob, target=0.8, gamma=0.05, t0=10.0,
+               kappa=0.75):
+    count = state.count + 1.0
+    h_avg = (1.0 - 1.0 / (count + t0)) * state.h_avg + (
+        target - accept_prob
+    ) / (count + t0)
+    log_step = state.mu - jnp.sqrt(count) / gamma * h_avg
+    eta = count ** (-kappa)
+    log_step_avg = eta * log_step + (1.0 - eta) * state.log_step_avg
+    return DualAveragingState(log_step, log_step_avg, h_avg, state.mu, count)
+
+
+def _leapfrog(logdensity_grad, theta, momentum, step, inv_mass, n_steps):
+    def body(_, carry):
+        th, m = carry
+        _, g = logdensity_grad(th)
+        m = m + 0.5 * step * g
+        th = th + step * m * inv_mass
+        _, g = logdensity_grad(th)
+        m = m + 0.5 * step * g
+        return th, m
+
+    return jax.lax.fori_loop(0, n_steps, body, (theta, momentum))
+
+
+def _kinetic(momentum, inv_mass):
+    return 0.5 * jnp.sum(jnp.square(momentum) * inv_mass)
+
+
+def hmc(logdensity: Callable, init, key, num_samples: int = 1000,
+        num_warmup: int = 500, num_leapfrog: int = 16,
+        initial_step: float = 0.1, target_accept: float = 0.8,
+        jitter_steps: bool = True):
+    """Adaptive HMC: dual-averaging step size and diagonal mass matrix fitted
+    during warmup, trajectory length jittered to decorrelate (the standard
+    robust alternative to dynamic termination). Returns (samples, info)."""
+    vg = jax.value_and_grad(logdensity)
+    dim = init.shape[0]
+
+    def one_step(theta, logp, key, step, inv_mass, n_steps):
+        key, km, ku, kj = jax.random.split(key, 4)
+        momentum = jax.random.normal(km, (dim,), theta.dtype) / jnp.sqrt(
+            inv_mass
+        )
+        steps = jax.lax.select(
+            jnp.asarray(jitter_steps),
+            1 + jax.random.randint(kj, (), 0, n_steps),
+            jnp.asarray(n_steps),
+        )
+        new_theta, new_momentum = _leapfrog(
+            vg, theta, momentum, step, inv_mass, steps
+        )
+        new_logp, _ = vg(new_theta)
+        delta_h = (
+            new_logp - logp - _kinetic(new_momentum, inv_mass)
+            + _kinetic(momentum, inv_mass)
+        )
+        accept_prob = jnp.minimum(1.0, jnp.exp(delta_h))
+        accept_prob = jnp.where(jnp.isnan(accept_prob), 0.0, accept_prob)
+        accept = jax.random.uniform(ku, (), theta.dtype) < accept_prob
+        theta = jnp.where(accept, new_theta, theta)
+        logp = jnp.where(accept, new_logp, logp)
+        return theta, logp, key, accept_prob
+
+    logp0, _ = vg(init)
+
+    def warmup_step(carry, _):
+        theta, logp, key, da, mean, m2, count = carry
+        step = jnp.exp(da.log_step)
+        inv_mass = jnp.where(
+            count > 10.0, m2 / jnp.maximum(count - 1.0, 1.0), jnp.ones(dim)
+        )
+        inv_mass = jnp.maximum(inv_mass, 1e-6)
+        theta, logp, key, accept_prob = one_step(
+            theta, logp, key, step, inv_mass, num_leapfrog
+        )
+        da = _da_update(da, accept_prob, target=target_accept)
+        count = count + 1.0
+        delta = theta - mean
+        mean = mean + delta / count
+        m2 = m2 + delta * (theta - mean)
+        return (theta, logp, key, da, mean, m2, count), accept_prob
+
+    da0 = _da_init(jnp.asarray(initial_step, init.dtype))
+    carry = (
+        init, logp0, key, da0, jnp.zeros(dim, init.dtype),
+        jnp.zeros(dim, init.dtype), jnp.asarray(0.0, init.dtype),
+    )
+    carry, warm_accept = jax.lax.scan(
+        warmup_step, carry, None, length=num_warmup
+    )
+    theta, logp, key, da, mean, m2, count = carry
+    step = jnp.exp(da.log_step_avg)
+    inv_mass = jnp.maximum(m2 / jnp.maximum(count - 1.0, 1.0), 1e-6)
+
+    def sample_step(carry, _):
+        theta, logp, key = carry
+        theta, logp, key, accept_prob = one_step(
+            theta, logp, key, step, inv_mass, num_leapfrog
+        )
+        return (theta, logp, key), (theta, accept_prob)
+
+    _, (samples, accepts) = jax.lax.scan(
+        sample_step, (theta, logp, key), None, length=num_samples
+    )
+    info = {
+        "step_size": step,
+        "accept_rate": jnp.mean(accepts),
+        "warmup_accept_rate": jnp.mean(warm_accept),
+        "inv_mass": inv_mass,
+    }
+    return samples, info
+
+
+def _nuts_step(vg, theta, logp, key, step, inv_mass, max_depth):
+    """One multinomial-NUTS transition with static tree doubling.
+
+    The doubling recursion is unrolled over ``max_depth`` (each level extends
+    the trajectory away from the current tree), with a U-turn check per
+    level — compiles to a static trace, XLA-friendly."""
+    dim = theta.shape[0]
+    key, km, kd = jax.random.split(key, 3)
+    momentum = jax.random.normal(km, (dim,), theta.dtype) / jnp.sqrt(inv_mass)
+    h0 = logp - _kinetic(momentum, inv_mass)
+
+    # trajectory state: endpoints, sampled point (multinomial), log weight
+    state = {
+        "theta_minus": theta, "r_minus": momentum,
+        "theta_plus": theta, "r_plus": momentum,
+        "sample": theta, "logw_sum": jnp.asarray(0.0, theta.dtype),
+        "turned": jnp.asarray(False),
+        "sum_accept": jnp.asarray(0.0, theta.dtype),
+        "n_steps": jnp.asarray(0.0, theta.dtype),
+        "key": kd,
+    }
+
+    def extend(level, state):
+        n_sub = 2**level
+
+        def do_extend(state):
+            key, kdir, ksel = jax.random.split(state["key"], 3)
+            go_right = jax.random.bernoulli(kdir)
+            th0 = jnp.where(go_right, state["theta_plus"], state["theta_minus"])
+            r0 = jnp.where(go_right, state["r_plus"], -state["r_minus"])
+
+            def leap(carry, _):
+                th, r, logw, samp, key2, sum_a = carry
+                th, r = _leapfrog(vg, th, r, step, inv_mass, 1)
+                lp, _ = vg(th)
+                logw_new = lp - _kinetic(r, inv_mass) - h0
+                logw_new = jnp.where(
+                    jnp.isnan(logw_new), -jnp.inf, logw_new
+                )
+                sum_a = sum_a + jnp.minimum(1.0, jnp.exp(logw_new))
+                # multinomial sampling within the new segment
+                key2, ks = jax.random.split(key2)
+                total = jnp.logaddexp(logw, logw_new)
+                take = jax.random.uniform(ks, (), th.dtype) < jnp.exp(
+                    logw_new - total
+                )
+                samp = jnp.where(take, th, samp)
+                return (th, r, total, samp, key2, sum_a), None
+
+            (th_end, r_end, logw_seg, samp_seg, _, sum_a), _ = (
+                jax.lax.scan(
+                    leap,
+                    (th0, r0, -jnp.inf * jnp.ones((), theta.dtype),
+                     th0, ksel, jnp.asarray(0.0, theta.dtype)),
+                    None,
+                    length=n_sub,
+                )
+            )
+            # candidate merged endpoints
+            theta_minus = jnp.where(
+                go_right, state["theta_minus"], th_end
+            )
+            r_minus = jnp.where(go_right, state["r_minus"], -r_end)
+            theta_plus = jnp.where(go_right, th_end, state["theta_plus"])
+            r_plus = jnp.where(go_right, r_end, state["r_plus"])
+
+            dtheta = theta_plus - theta_minus
+            turned = (
+                jnp.sum(dtheta * r_minus * inv_mass) < 0
+            ) | (jnp.sum(dtheta * r_plus * inv_mass) < 0)
+            diverged = logw_seg < -1000.0
+
+            # NUTS semantics: a subtree that triggers the U-turn/divergence
+            # condition is DISCARDED, not merged — only the stopping flag and
+            # accept statistics survive from it.
+            key, kmerge = jax.random.split(key)
+            total = jnp.logaddexp(state["logw_sum"], logw_seg)
+            take_new = jax.random.uniform(kmerge, (), theta.dtype) < jnp.exp(
+                logw_seg - total
+            )
+            keep = ~(turned | diverged)
+            sample = jnp.where(
+                keep & take_new, samp_seg, state["sample"]
+            )
+            return {
+                "theta_minus": jnp.where(keep, theta_minus, state["theta_minus"]),
+                "r_minus": jnp.where(keep, r_minus, state["r_minus"]),
+                "theta_plus": jnp.where(keep, theta_plus, state["theta_plus"]),
+                "r_plus": jnp.where(keep, r_plus, state["r_plus"]),
+                "sample": sample,
+                "logw_sum": jnp.where(keep, total, state["logw_sum"]),
+                "turned": turned | diverged,
+                "sum_accept": state["sum_accept"] + sum_a,
+                "n_steps": state["n_steps"] + n_sub,
+                "key": key,
+            }
+
+        return jax.lax.cond(state["turned"], lambda s: s, do_extend, state)
+
+    for level in range(max_depth):
+        state = extend(level, state)
+
+    new_theta = state["sample"]
+    new_logp, _ = vg(new_theta)
+    accept_stat = state["sum_accept"] / jnp.maximum(state["n_steps"], 1.0)
+    return new_theta, new_logp, key, accept_stat
+
+
+def nuts(logdensity: Callable, init, key, num_samples: int = 1000,
+         num_warmup: int = 500, max_depth: int = 6,
+         initial_step: float = 0.1, target_accept: float = 0.8):
+    """No-U-Turn sampler with multinomial trajectory sampling and static
+    doubling (see _nuts_step). Warmup adapts step size (dual averaging) and a
+    diagonal mass matrix. Returns (samples, info)."""
+    vg = jax.value_and_grad(logdensity)
+    dim = init.shape[0]
+    logp0, _ = vg(init)
+
+    def warmup_step(carry, _):
+        theta, logp, key, da, mean, m2, count = carry
+        step = jnp.exp(da.log_step)
+        inv_mass = jnp.where(
+            count > 10.0,
+            jnp.maximum(m2 / jnp.maximum(count - 1.0, 1.0), 1e-6),
+            jnp.ones(dim, theta.dtype),
+        )
+        theta, logp, key, accept = _nuts_step(
+            vg, theta, logp, key, step, inv_mass, max_depth
+        )
+        da = _da_update(da, accept, target=target_accept)
+        count = count + 1.0
+        delta = theta - mean
+        mean = mean + delta / count
+        m2 = m2 + delta * (theta - mean)
+        return (theta, logp, key, da, mean, m2, count), accept
+
+    da0 = _da_init(jnp.asarray(initial_step, init.dtype))
+    carry = (
+        init, logp0, key, da0, jnp.zeros(dim, init.dtype),
+        jnp.zeros(dim, init.dtype), jnp.asarray(0.0, init.dtype),
+    )
+    carry, warm_accept = jax.lax.scan(warmup_step, carry, None,
+                                      length=num_warmup)
+    theta, logp, key, da, mean, m2, count = carry
+    step = jnp.exp(da.log_step_avg)
+    inv_mass = jnp.maximum(m2 / jnp.maximum(count - 1.0, 1.0), 1e-6)
+
+    def sample_step(carry, _):
+        theta, logp, key = carry
+        theta, logp, key, accept = _nuts_step(
+            vg, theta, logp, key, step, inv_mass, max_depth
+        )
+        return (theta, logp, key), (theta, accept)
+
+    _, (samples, accepts) = jax.lax.scan(
+        sample_step, (theta, logp, key), None, length=num_samples
+    )
+    info = {
+        "step_size": step,
+        "accept_rate": jnp.mean(accepts),
+        "warmup_accept_rate": jnp.mean(warm_accept),
+        "inv_mass": inv_mass,
+    }
+    return samples, info
+
+
+def sample_chains(logdensity, init, key, num_chains: int = 4,
+                  method: str = "nuts", **kwargs):
+    """vmap over chains on one device; jitter the inits."""
+    keys = jax.random.split(key, num_chains)
+    dim = init.shape[0]
+    jitter = (
+        0.1
+        * jax.random.normal(
+            jax.random.fold_in(key, 1), (num_chains, dim), init.dtype
+        )
+    )
+    inits = init[None, :] + jitter
+    sampler = nuts if method == "nuts" else hmc
+
+    def run(i, k):
+        return sampler(logdensity, i, k, **kwargs)
+
+    return jax.vmap(run)(inits, keys)
+
+
+def sample_chains_sharded(logdensity, init, key, mesh, axis: str = "data",
+                          chains_per_device: int = 1, method: str = "hmc",
+                          **kwargs):
+    """Shard chains over a mesh axis: num_chains = axis size ×
+    chains_per_device. Embarrassingly parallel over ICI; the chains
+    dimension is sharded, everything else replicated."""
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    n_shards = mesh.shape[axis]
+    num_chains = n_shards * chains_per_device
+    keys = jax.random.split(key, num_chains)
+    dim = init.shape[0]
+    jitter = 0.1 * jax.random.normal(
+        jax.random.fold_in(key, 1), (num_chains, dim), init.dtype
+    )
+    inits = init[None, :] + jitter
+    sampler = nuts if method == "nuts" else hmc
+
+    def run(i, k):
+        return sampler(logdensity, i, k, **kwargs)
+
+    sharding = NamedSharding(mesh, P(axis))
+    inits = jax.device_put(inits, NamedSharding(mesh, P(axis, None)))
+    keys = jax.device_put(keys, sharding)
+    return jax.jit(jax.vmap(run))(inits, keys)
