@@ -50,12 +50,12 @@ def bench_ours(df, fams, k=10):
     score = CVLikelihood(df, k=k, seed=0)
     model = KDENetwork([c for c in df.columns])
     ckde = CKDEType()
+    batch = [(v, ps, ckde) for v, ps in fams]
 
     def run_once():
-        total = 0.0
-        for v, ps in fams:
-            total += score.local_score_node_type(model, ckde, v, ps)
-        return total
+        # the structure-search path: all candidate families in batched
+        # device launches (Score.local_score_batch)
+        return float(score.local_score_batch(model, batch).sum())
 
     t0 = time.time()
     warm_total = run_once()  # includes compile

@@ -98,48 +98,74 @@ class _KFoldEngine:
         return np.asarray(out, dtype=np.float64)[:F]
 
     # ---------------------------------------------------------------- CKDE
-    def ckde_score(self, variable, parents, selector) -> float:
-        """All folds of one CKDE family in one device launch."""
-        import jax.numpy as jnp
+    def _family_arrays(self):
+        """Cached full continuous matrix + per-column null masks (host)."""
+        if not hasattr(self, "_fam_cache"):
+            cols = self.df.continuous_columns()
+            mat = self.df.to_numpy(cols, drop_null=False, dtype=np.float64)
+            nulls = np.column_stack(
+                [self.df.col(c).null_mask() for c in cols]
+            ) if cols else np.zeros((self.df.num_rows, 0), bool)
+            self._fam_cache = ({c: i for i, c in enumerate(cols)}, mat, nulls)
+        return self._fam_cache
+
+    @staticmethod
+    def _rule_bandwidth(selector, train, n, d):
+        """Fast path for the closed-form selectors; None -> generic path."""
+        from ...kde.bandwidth import NormalReferenceRule, ScottsBandwidth
+
+        if type(selector) is NormalReferenceRule:
+            if n <= d:
+                raise SingularCovarianceData("not enough rows")
+            k = (4.0 / (n * (d + 2.0))) ** (2.0 / (d + 4.0))
+            return k * np.cov(train, rowvar=False, ddof=1).reshape(d, d)
+        if type(selector) is ScottsBandwidth:
+            if n <= d:
+                raise SingularCovarianceData("not enough rows")
+            return n ** (-2.0 / (d + 4.0)) * np.cov(
+                train, rowvar=False, ddof=1
+            ).reshape(d, d)
+        return None
+
+    def _prepare_ckde_family(self, variable, parents, selector, ntr, nte,
+                             dtype):
+        """Whitened per-fold blocks for one family; None => -inf."""
         from scipy.linalg import solve_triangular
 
-        from ...ops.kde import ckde_cv_slogl, kde_cv_slogl
-
+        pos, full_mat, nulls = self._family_arrays()
         cols = [variable, *parents]
-        mat = self.df.to_numpy(cols, drop_null=False, dtype=np.float64)
-        valid = self.df.combined_mask(*cols)
+        cidx = [pos[c] for c in cols]
+        mat = full_mat[:, cidx]
+        valid = ~nulls[:, cidx].any(axis=1)
         dj = len(cols)
-        chunk = 256
         K = len(self.folds)
-        fold_data = []
-        for (tr, te) in self.folds:
+        jtr = np.zeros((K, ntr, dj), dtype)
+        jte = np.zeros((K, nte, dj), dtype)
+        dm = max(dj - 1, 1)
+        mtr = np.zeros((K, ntr, dm), dtype)
+        mte = np.zeros((K, nte, dm), dtype)
+        trm = np.zeros((K, ntr), dtype)
+        tem = np.zeros((K, nte), dtype)
+        jln = np.zeros(K, dtype)
+        mln = np.zeros(K, dtype)
+        for k, (tr, te) in enumerate(self.folds):
             tr = tr[valid[tr]]
             te = te[valid[te]]
-            fold_data.append((tr, te))
-        ntr = max((len(tr) for tr, _ in fold_data), default=0)
-        nte_raw = max((len(te) for _, te in fold_data), default=0)
-        nte = _next_pow2(nte_raw, chunk)
-        ntr = _next_pow2(max(ntr, 1))
-        jtr = np.zeros((K, ntr, dj))
-        jte = np.zeros((K, nte, dj))
-        mtr = np.zeros((K, ntr, max(dj - 1, 1)))
-        mte = np.zeros((K, nte, max(dj - 1, 1)))
-        trm = np.zeros((K, ntr))
-        tem = np.zeros((K, nte))
-        jln = np.zeros(K)
-        mln = np.zeros(K)
-        for k, (tr, te) in enumerate(fold_data):
             train = mat[tr]
             test = mat[te]
             ntr_k = len(train)
             if ntr_k <= dj:
-                return -math.inf
-            sub = self.df.take(tr)
+                return None
             try:
-                H = np.asarray(selector.bandwidth(sub, cols), dtype=np.float64)
+                H = self._rule_bandwidth(selector, train, ntr_k, dj)
+                if H is None:
+                    H = np.asarray(
+                        selector.bandwidth(self.df.take(tr), cols),
+                        dtype=np.float64,
+                    )
                 L = np.linalg.cholesky(H)
             except (SingularCovarianceData, np.linalg.LinAlgError):
-                return -math.inf
+                return None
             jtr[k, :ntr_k] = solve_triangular(L, train.T, lower=True).T
             jte[k, : len(test)] = solve_triangular(L, test.T, lower=True).T
             trm[k, :ntr_k] = 1.0
@@ -162,29 +188,147 @@ class _KFoldEngine:
                     - 0.5 * (dj - 1) * math.log(2 * math.pi)
                     - math.log(ntr_k)
                 )
-        dtype = np.float64
-        if dj > 1:
-            out = ckde_cv_slogl(
-                jnp.asarray(jtr.astype(dtype)),
-                jnp.asarray(jte.astype(dtype)),
-                jnp.asarray(mtr.astype(dtype)),
-                jnp.asarray(mte.astype(dtype)),
-                jnp.asarray(trm.astype(dtype)),
-                jnp.asarray(tem.astype(dtype)),
-                jnp.asarray(jln.astype(dtype)),
-                jnp.asarray(mln.astype(dtype)),
-                chunk=chunk,
+        return jtr, jte, mtr, mte, trm, tem, jln, mln
+
+    def _fold_pad_sizes(self, chunk=256):
+        if not hasattr(self, "_pad_sizes"):
+            ntr = max(len(tr) for tr, _ in self.folds)
+            nte = max(len(te) for _, te in self.folds)
+            # pad to lane multiples, not powers of two (9000 -> 9216, not 16384)
+            self._pad_sizes = (
+                -(-max(ntr, 1) // 256) * 256,
+                -(-max(nte, 1) // chunk) * chunk,
             )
-        else:
-            out = kde_cv_slogl(
-                jnp.asarray(jtr.astype(dtype)),
-                jnp.asarray(jte.astype(dtype)),
-                jnp.asarray(trm.astype(dtype)),
-                jnp.asarray(tem.astype(dtype)),
-                jnp.asarray(jln.astype(dtype)),
-                chunk=chunk,
+        return self._pad_sizes
+
+    def _device_cv_cache(self, chunk=256):
+        """Device-resident data + fold index arrays, uploaded once."""
+        if not hasattr(self, "_dev_cv"):
+            import jax.numpy as jnp
+
+            cols = self.df.continuous_columns()
+            pos, mat, nulls = self._family_arrays()
+            ntr, nte = self._fold_pad_sizes(chunk)
+            K = len(self.folds)
+            tr_idx = np.zeros((K, ntr), np.int32)
+            tr_mask = np.zeros((K, ntr), np.float64)
+            te_idx = np.zeros((K, nte), np.int32)
+            te_mask = np.zeros((K, nte), np.float64)
+            for k, (tr, te) in enumerate(self.folds):
+                tr_idx[k, : len(tr)] = tr
+                tr_mask[k, : len(tr)] = 1.0
+                te_idx[k, : len(te)] = te
+                te_mask[k, : len(te)] = 1.0
+            dt = self.df.same_type(*cols) if cols else np.float64
+            dtype = np.float32 if np.dtype(dt) == np.float32 else np.float64
+            self._dev_cv = (
+                pos,
+                jnp.asarray(np.nan_to_num(mat, nan=0.0).astype(dtype)),
+                jnp.asarray(nulls.astype(dtype)),
+                jnp.asarray(tr_idx),
+                jnp.asarray(tr_mask.astype(dtype)),
+                jnp.asarray(te_idx),
+                jnp.asarray(te_mask.astype(dtype)),
+                dtype,
             )
-        return float(out)
+        return self._dev_cv
+
+    def ckde_scores_batch(self, fams) -> np.ndarray:
+        """fams: list of (variable, parents, selector). Rule-based selectors
+        ride the fully-fused device kernel
+        (:func:`pybnesian_tpu.ops.kde.ckde_cv_alldevice`); custom Python
+        selectors fall back to the host-whitened per-family path."""
+        import jax.numpy as jnp
+
+        from ...kde.bandwidth import NormalReferenceRule, ScottsBandwidth
+        from ...ops.kde import ckde_cv_alldevice
+
+        chunk = 256
+        out = np.empty(len(fams))
+        device_groups: dict[tuple, list[int]] = {}
+        fallback: list[int] = []
+        for i, (v, ps, selector) in enumerate(fams):
+            if type(selector) is NormalReferenceRule:
+                rule = "nr"
+            elif type(selector) is ScottsBandwidth:
+                rule = "scott"
+            else:
+                fallback.append(i)
+                continue
+            dj = len(ps) + 1
+            djmax = _next_pow2(dj, 2)
+            device_groups.setdefault((djmax, rule), []).append(i)
+
+        if device_groups:
+            (pos, data, null_mask, tr_idx, tr_mask, te_idx, te_mask, dtype) = (
+                self._device_cv_cache(chunk)
+            )
+            for (djmax, rule), idxs in device_groups.items():
+                F = len(idxs)
+                Fb = _next_pow2(F, 4)
+                col_idx = np.zeros((Fb, djmax), np.int32)
+                col_mask = np.zeros((Fb, djmax), dtype)
+                for f, i in enumerate(idxs):
+                    v, ps, _ = fams[i]
+                    cols = [v, *ps]
+                    for j, c in enumerate(cols):
+                        col_idx[f, j] = pos[c]
+                        col_mask[f, j] = 1.0
+                col_mask[F:, 0] = 1.0  # padded families: 1-D dummy
+                scores = ckde_cv_alldevice(
+                    data, null_mask,
+                    jnp.asarray(col_idx), jnp.asarray(col_mask),
+                    tr_idx, tr_mask, te_idx, te_mask,
+                    chunk=chunk, rule=rule,
+                )
+                vals = np.array(scores, np.float64)[:F].copy()
+                vals[~np.isfinite(vals)] = -math.inf
+                out[np.array(idxs)] = vals
+
+        if fallback:
+            out[np.array(fallback)] = self._ckde_host_batch(
+                [fams[i] for i in fallback], chunk
+            )
+        return out
+
+    def _ckde_host_batch(self, fams, chunk=256) -> np.ndarray:
+        """Host-whitened path for user-defined bandwidth selectors."""
+        import jax.numpy as jnp
+
+        from ...ops.kde import batched_ckde_cv_slogl, batched_kde_cv_slogl
+
+        ntr, nte = self._fold_pad_sizes(chunk)
+        dt = self.df.same_type(*self.df.continuous_columns())
+        dtype = np.float32 if np.dtype(dt) == np.float32 else np.float64
+        out = np.empty(len(fams))
+        groups: dict[int, list[int]] = {}
+        prepared = {}
+        for i, (v, ps, selector) in enumerate(fams):
+            arrs = self._prepare_ckde_family(v, ps, selector, ntr, nte, dtype)
+            if arrs is None:
+                out[i] = -math.inf
+                continue
+            prepared[i] = arrs
+            groups.setdefault(len(ps) + 1, []).append(i)
+        for dj, idxs in groups.items():
+            stacks = [
+                np.stack([prepared[i][j] for i in idxs]) for j in range(8)
+            ]
+            if dj > 1:
+                scores = batched_ckde_cv_slogl(
+                    *(jnp.asarray(s) for s in stacks), chunk=chunk
+                )
+            else:
+                jtr, jte, _, _, trm, tem, jln, _ = stacks
+                scores = batched_kde_cv_slogl(
+                    jnp.asarray(jtr), jnp.asarray(jte), jnp.asarray(trm),
+                    jnp.asarray(tem), jnp.asarray(jln), chunk=chunk,
+                )
+            out[np.array(idxs)] = np.asarray(scores, np.float64)
+        return out
+
+    def ckde_score(self, variable, parents, selector) -> float:
+        return float(self.ckde_scores_batch([(variable, parents, selector)])[0])
 
     # ------------------------------------------------------------ discrete
     def discrete_score(self, variable, parents) -> float:
@@ -276,8 +420,27 @@ class CVLikelihood(Score):
                 (pos[norm[i][0]], [pos[p] for p in norm[i][1]]) for i in lg_idx
             ]
             out[np.array(lg_idx)] = self._engine.lg_batch(fams)
+        from ...factors.ckde import CKDEType
+
+        ckde_idx = [
+            i
+            for i, (v, ps, nt) in enumerate(norm)
+            if nt == CKDEType() and self._lg_ok(v, ps)
+        ]
+        if ckde_idx:
+            fams = [
+                (
+                    norm[i][0],
+                    norm[i][1],
+                    _ckde_selector(norm[i][2], model, norm[i][0], norm[i][1],
+                                   self.args),
+                )
+                for i in ckde_idx
+            ]
+            out[np.array(ckde_idx)] = self._engine.ckde_scores_batch(fams)
+        handled = set(lg_idx) | set(ckde_idx)
         for i, (v, ps, nt) in enumerate(norm):
-            if i in set(lg_idx):
+            if i in handled:
                 continue
             out[i] = self.local_score_node_type(model, nt, v, ps)
         return out

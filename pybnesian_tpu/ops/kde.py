@@ -157,6 +157,124 @@ def ckde_cv_slogl(joint_tr, joint_te, marg_tr, marg_te, tr_mask, te_mask,
                                   tr_mask, te_mask, joint_ln, marg_ln))
 
 
+@partial(jax.jit, static_argnames=("chunk", "rule"))
+def ckde_cv_alldevice(data, null_mask, col_idx, col_mask, tr_idx, tr_mask,
+                      te_idx, te_mask, chunk=256, rule="nr"):
+    """Fully-fused CV-likelihood of F CKDE families: ONE device launch does
+    the per-fold row gather, rule-based bandwidth (normal-reference or
+    Scott), Cholesky, whitening and the pairwise logsumexp. The host only
+    uploads the data matrix once per score instance and per-batch family
+    column indices — the end-state of the SURVEY §7 "upload once" design.
+
+    data: (n, D) values (nulls zeroed); null_mask: (n, D) 1.0 where null;
+    col_idx/col_mask: (F, djmax) family columns, variable first;
+    tr_idx/tr_mask: (K, ntr) fold train rows (shared across families);
+    te_idx/te_mask: (K, nte). Returns (F,) summed CV test logl; NaN marks
+    degenerate families (caller maps to -inf).
+    """
+    djmax = col_idx.shape[1]
+    eye = jnp.eye(djmax, dtype=data.dtype)
+
+    def family(cidx, cmask):
+        fam = data[:, cidx] * cmask[None, :]
+        fam_null = jnp.max(null_mask[:, cidx] * cmask[None, :], axis=1)
+        fvalid = 1.0 - fam_null
+        d_eff = jnp.sum(cmask)
+
+        def fold(tri, trm, tei, tem):
+            w = trm * fvalid[tri]
+            train = fam[tri]
+            n_eff = jnp.sum(w)
+            mean = jnp.sum(train * w[:, None], axis=0) / n_eff
+            xc = (train - mean[None, :]) * (w[:, None] * cmask[None, :])
+            cov = jnp.einsum(
+                "ni,nj->ij", xc, xc, preferred_element_type=data.dtype
+            ) / (n_eff - 1.0)
+            if rule == "nr":
+                k = (4.0 / (n_eff * (d_eff + 2.0))) ** (2.0 / (d_eff + 4.0))
+            else:  # scott
+                k = n_eff ** (-2.0 / (d_eff + 4.0))
+            H = k * cov + jnp.diag(1.0 - cmask)
+            L = jnp.linalg.cholesky(H)
+            Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+            jln = (
+                -jnp.sum(jnp.log(jnp.abs(jnp.diag(L))) * cmask)
+                - 0.5 * d_eff * LOG_2PI
+                - jnp.log(n_eff)
+            )
+            # marginal: evidence block (drop variable = column 0)
+            mmask = cmask.at[0].set(0.0)
+            Hm = H * mmask[:, None] * mmask[None, :] + jnp.diag(1.0 - mmask)
+            Lm = jnp.linalg.cholesky(Hm)
+            Lminv = jax.scipy.linalg.solve_triangular(Lm, eye, lower=True)
+            mln = (
+                -jnp.sum(jnp.log(jnp.abs(jnp.diag(Lm))) * mmask)
+                - 0.5 * (d_eff - 1.0) * LOG_2PI
+                - jnp.log(n_eff)
+            )
+            jtr = train @ Linv.T
+            mtr = (train * mmask[None, :]) @ Lminv.T
+            test = fam[tei]
+            wte = tem * fvalid[tei]
+            jte = test @ Linv.T
+            mte = (test * mmask[None, :]) @ Lminv.T
+            neg = jnp.where(w > 0, 0.0, -jnp.inf)
+            jn = jnp.sum(jnp.square(jtr), axis=1)
+            mn = jnp.sum(jnp.square(mtr), axis=1)
+
+            def body(args):
+                jc, mc = args
+                jd2 = (
+                    jnp.sum(jnp.square(jc), axis=1)[:, None]
+                    - 2.0 * _dot(jc, jtr.T)
+                    + jn[None, :]
+                )
+                lj = jax.nn.logsumexp(-0.5 * jd2 + neg[None, :], axis=1)
+                md2 = (
+                    jnp.sum(jnp.square(mc), axis=1)[:, None]
+                    - 2.0 * _dot(mc, mtr.T)
+                    + mn[None, :]
+                )
+                lm = jax.nn.logsumexp(-0.5 * md2 + neg[None, :], axis=1)
+                return lj - lm
+
+            jchunks = jte.reshape(-1, chunk, djmax)
+            mchunks = mte.reshape(-1, chunk, djmax)
+            out = jax.lax.map(body, (jchunks, mchunks)).reshape(-1)
+            fold_ll = jnp.sum((out + (jln - mln)) * wte)
+            # degenerate folds (n_eff too small / singular chol) -> NaN
+            return jnp.where(n_eff > d_eff, fold_ll, jnp.nan)
+
+        return jnp.sum(jax.vmap(fold)(tr_idx, tr_mask, te_idx, te_mask))
+
+    return jax.vmap(family)(col_idx, col_mask)
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def batched_ckde_cv_slogl(joint_tr, joint_te, marg_tr, marg_te, tr_mask,
+                          te_mask, joint_ln, marg_ln, chunk=256):
+    """F CKDE families × K folds in ONE device call — the structure-search
+    hot path batched over candidate families (leading F axis on every
+    argument)."""
+
+    def one(jtr, jte, mtr, mte, trm, tem, jln, mln):
+        return ckde_cv_slogl(jtr, jte, mtr, mte, trm, tem, jln, mln,
+                             chunk=chunk)
+
+    return jax.vmap(one)(joint_tr, joint_te, marg_tr, marg_te, tr_mask,
+                         te_mask, joint_ln, marg_ln)
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def batched_kde_cv_slogl(tr, te, tr_mask, te_mask, ln, chunk=256):
+    """F (joint-only) KDE families × K folds in one call."""
+
+    def one(xtr, xte, trm, tem, fln):
+        return kde_cv_slogl(xtr, xte, trm, tem, fln, chunk=chunk)
+
+    return jax.vmap(one)(tr, te, tr_mask, te_mask, ln)
+
+
 @partial(jax.jit, static_argnames=("chunk",))
 def kde_cv_slogl(tr, te, tr_mask, te_mask, ln, chunk=256):
     """k-fold CV test log-likelihood of one (joint-only) KDE family —
