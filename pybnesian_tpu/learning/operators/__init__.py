@@ -432,9 +432,16 @@ class ArcOperatorSet(OperatorSet):
     # ----------------------------------------------------------- find max
     def find_max(self, model, tabu: OperatorTabuSet | None = None):
         conditional = isinstance(model, ConditionalBayesianNetwork)
+        add_legal = None
+        if not conditional:
+            # one native transitive closure amortizes every candidate's
+            # acyclicity check (vs per-candidate has_path BFS,
+            # reference operators.hpp:488-560)
+            from ...graph.closure import add_arc_legality
+
+            add_legal = add_arc_legality(model.graph().adjacency_matrix())
         flat = self.delta.ravel()
         order = np.argsort(-flat, kind="stable")
-        ns = len(self._sources)
         nt = len(self._targets)
         for flat_idx in order:
             si, ti = divmod(int(flat_idx), nt)
@@ -444,7 +451,9 @@ class ArcOperatorSet(OperatorSet):
             if not np.isfinite(d):
                 break  # deltas are sorted: everything after is -inf too
             source, target = self._sources[si], self._targets[ti]
-            op = self._op_for_pair(model, source, target, d, conditional)
+            op = self._op_for_pair(
+                model, source, target, d, conditional, add_legal, si, ti
+            )
             if op is None:
                 continue
             if tabu is not None and op in tabu:
@@ -452,7 +461,8 @@ class ArcOperatorSet(OperatorSet):
             return op
         return None
 
-    def _op_for_pair(self, model, source, target, d, conditional):
+    def _op_for_pair(self, model, source, target, d, conditional,
+                     add_legal=None, si=None, ti=None):
         if model.has_arc(source, target):
             return RemoveArc(source, target, d)
         if conditional and model.is_interface(source):
@@ -470,7 +480,13 @@ class ArcOperatorSet(OperatorSet):
                     return None
                 return FlipArc(target, source, d)
             return None
-        if model.can_add_arc(source, target):
+        if add_legal is not None:
+            can_add = bool(add_legal[si, ti]) and model.type().can_have_arc(
+                model, source, target
+            )
+        else:
+            can_add = model.can_add_arc(source, target)
+        if can_add:
             if (
                 self._max_indegree > 0
                 and model.num_parents(target) >= self._max_indegree
