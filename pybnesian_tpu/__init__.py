@@ -124,6 +124,11 @@ from .learning.independences import (
     MutualInformation,
     RCoT,
 )
+from .learning.independences.chi_square import DynamicChiSquare
+from .learning.independences.hybrid_mi import DynamicMutualInformation
+from .learning.independences.kmutual_info import DynamicKMutualInformation
+from .learning.independences.linearcorrelation import DynamicLinearCorrelation
+from .learning.independences.rcot import DynamicRCoT
 from .kdtree import KDTree
 from .utils.pickle import load
 
