@@ -52,6 +52,7 @@ def make_logdensity(model, df, beta_prior_scale: float = 10.0,
 
     logdensity_fn: flat jnp vector -> scalar log p(data | params) + log prior.
     """
+    import jax
     import jax.numpy as jnp
 
     df = DataFrame.wrap(df)
@@ -68,7 +69,80 @@ def make_logdensity(model, df, beta_prior_scale: float = 10.0,
     for node in model.nodes():
         node_type = model.underlying_node_type(df, node)
         parents = model.parents(node)
-        if node_type == LinearGaussianCPDType() and not any(
+        if node_type == LinearGaussianCPDType() and any(
+            df.is_discrete(p) for p in parents
+        ):
+            # CLG node: one (beta, log-variance) block per discrete parent
+            # configuration (the reference's CLinearGaussianCPD partition)
+            from ..factors.discrete import (
+                create_cardinality_strides,
+                flat_indices,
+            )
+
+            disc = [p for p in parents if df.is_discrete(p)]
+            cont = [p for p in parents if not df.is_discrete(p)]
+            card, strides = create_cardinality_strides(df, disc[0], disc[1:])
+            n_configs = int(np.prod(card))
+            cfg = flat_indices(df, disc, strides)
+            k = len(cont)
+            block = k + 2
+            layout.add(node, n_configs * block, "clg")
+            y = values[:, pos[node]]
+            X = (
+                values[:, [pos[p] for p in cont]]
+                if cont
+                else jnp.zeros((df.num_rows, 0), values.dtype)
+            )
+            w_base = valid[:, pos[node]]
+            for p in cont:
+                w_base = w_base * valid[:, pos[p]]
+            cfg_onehot = jnp.asarray(
+                np.stack(
+                    [(cfg == c).astype(dtype) for c in range(n_configs)]
+                )
+            )  # (n_configs, n)
+            lo, hi, _ = layout.slices[node]
+
+            def clg_piece(theta, y=y, X=X, w_base=w_base,
+                          cfg_onehot=cfg_onehot, lo=lo, k=k, block=block,
+                          n_configs=n_configs):
+                params = theta[lo: lo + n_configs * block].reshape(
+                    n_configs, block
+                )
+
+                def one_config(p, mask):
+                    beta = p[: k + 1]
+                    logvar = p[k + 1]
+                    mean = beta[0] + X @ beta[1:]
+                    ll = (
+                        -0.5 * jnp.square(y - mean) * jnp.exp(-logvar)
+                        - 0.5 * logvar
+                        - 0.5 * _LOG_2PI
+                    )
+                    prior = -0.5 * jnp.sum(
+                        jnp.square(beta) / beta_prior_scale**2
+                    ) - 0.5 * jnp.square(logvar) / logvar_prior_scale**2
+                    return jnp.sum(ll * w_base * mask) + prior
+
+                return jnp.sum(jax.vmap(one_config)(params, cfg_onehot))
+
+            pieces.append(clg_piece)
+            from ..learning.parameters import mle_lineargaussian
+
+            init_block = np.zeros((n_configs, block))
+            all_rows = np.arange(df.num_rows)
+            for c in range(n_configs):
+                rows = all_rows[cfg == c]
+                if len(rows) > k + 2:
+                    params = mle_lineargaussian(df.take(rows), node, cont)
+                    var0 = params.variance
+                    if not np.isfinite(var0) or var0 <= 0:
+                        var0 = 1.0
+                    init_block[c] = np.concatenate(
+                        [np.nan_to_num(params.beta), [math.log(var0)]]
+                    )
+            init.append(init_block.reshape(-1))
+        elif node_type == LinearGaussianCPDType() and not any(
             df.is_discrete(p) for p in parents
         ):
             k = len(parents)
