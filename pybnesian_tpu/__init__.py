@@ -100,16 +100,20 @@ from .learning.scores.dynamic import (
 )
 from .learning.operators import (
     AddArc,
+    ArcOperator,
     ArcOperatorSet,
     ChangeNodeType,
     ChangeNodeTypeSet,
     FlipArc,
+    LocalScoreCache,
     Operator,
     OperatorPool,
     OperatorSet,
     OperatorTabuSet,
     RemoveArc,
 )
+from .learning.parameters import MLE, LinearGaussianParams
+from .factors.discrete import DiscreteParams as DiscreteFactorParams
 from .learning.algorithms import Callback, GreedyHillClimbing, SaveModel, hc
 from .learning.algorithms.pc import PC, MeekRules
 from .learning.algorithms.mmpc import MMPC
@@ -131,6 +135,11 @@ from .learning.independences.linearcorrelation import DynamicLinearCorrelation
 from .learning.independences.rcot import DynamicRCoT
 from .kdtree import KDTree
 from .utils.pickle import load
+
+# Interface-compatible aliases (the reference exposes dedicated base classes;
+# here the generic classes serve as both, models/base.py)
+ConditionalBayesianNetworkBase = ConditionalBayesianNetwork
+DynamicBayesianNetworkBase = DynamicBayesianNetwork
 
 __version__ = "0.1.0"
 

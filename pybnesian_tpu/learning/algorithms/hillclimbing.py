@@ -188,9 +188,6 @@ def hc(
     else:
         bn_type = start.type()
 
-    if isinstance(start, ConditionalBayesianNetwork):
-        raise ValueError("hc() does not support conditional BNs as start")
-
     score_obj = check_valid_score(
         df,
         bn_type,
