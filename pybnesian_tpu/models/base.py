@@ -158,6 +158,20 @@ class BayesianNetworkBase:
     def has_path(self, source, target) -> bool:
         return self._graph.has_path(source, target)
 
+    def roots(self) -> list[str]:
+        return self._graph.roots()
+
+    def leaves(self) -> list[str]:
+        return self._graph.leaves()
+
+    def topological_sort(self) -> list[str]:
+        return self._graph.topological_sort()
+
+    def has_unknown_node_types(self) -> bool:
+        return any(
+            self.node_type(n) == UnknownFactorType() for n in self._all_nodes()
+        )
+
     def add_node(self, name: str) -> int:
         idx = self._graph.add_node(name)
         if not self._type.is_homogeneous():
