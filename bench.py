@@ -11,9 +11,21 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+# persistent XLA compile cache: this environment's remote TPU compiles are
+# slow and highly variable; caching makes repeat benchmark runs honest about
+# steady-state throughput
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def make_data(n=10_000, d=5, seed=0, dtype=np.float32):

@@ -265,7 +265,9 @@ class _KFoldEngine:
             )
             for (djmax, rule), idxs in device_groups.items():
                 F = len(idxs)
-                Fb = _next_pow2(F, 4)
+                # generous floor: fewer distinct compiled shapes matters more
+                # than wasted lanes (each shape costs an XLA compile)
+                Fb = _next_pow2(F, 32)
                 col_idx = np.zeros((Fb, djmax), np.int32)
                 col_mask = np.zeros((Fb, djmax), dtype)
                 for f, i in enumerate(idxs):
