@@ -267,7 +267,7 @@ class _KFoldEngine:
                 F = len(idxs)
                 # generous floor: fewer distinct compiled shapes matters more
                 # than wasted lanes (each shape costs an XLA compile)
-                Fb = _next_pow2(F, 32)
+                Fb = _next_pow2(F, 16)
                 col_idx = np.zeros((Fb, djmax), np.int32)
                 col_mask = np.zeros((Fb, djmax), dtype)
                 for f, i in enumerate(idxs):
