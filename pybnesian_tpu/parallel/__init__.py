@@ -34,6 +34,7 @@ __all__ = [
     "sharded_batched_bic",
     "sharded_lg_fit",
     "sharded_kde_slogl",
+    "sharded_ckde_cv",
 ]
 
 
@@ -144,6 +145,43 @@ def sharded_lg_fit(mesh: Mesh, values, valid, var_idx, parent_idx,
         return jax.vmap(one)(vi, pi, pm)
 
     return kernel(values, valid, var_idx, parent_idx, parent_mask)
+
+
+def sharded_ckde_cv(mesh: Mesh, data, null_mask, col_idx, col_mask, tr_idx,
+                    tr_mask, te_idx, te_mask, chunk: int = 256,
+                    rule: str = "nr"):
+    """CV-likelihood CKDE scoring with candidate families sharded over the
+    'fam' mesh axis — the multi-chip form of
+    :func:`pybnesian_tpu.ops.kde.ckde_cv_alldevice`. Data and fold indices
+    replicate (they are small next to the pairwise compute); each chip scores
+    its slice of the candidate-family batch independently, so score
+    throughput scales linearly with chips. F must divide the fam axis."""
+    from ..ops.kde import ckde_cv_alldevice
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(None, None),  # data replicated
+            P(None, None),
+            P("fam", None),  # families sharded
+            P("fam", None),
+            P(None, None),
+            P(None, None),
+            P(None, None),
+            P(None, None),
+        ),
+        out_specs=P("fam"),
+        check_vma=False,
+    )
+    def kernel(d, nm, ci, cm, tri, trm, tei, tem):
+        return ckde_cv_alldevice(
+            d, nm, ci, cm, tri, trm, tei, tem, chunk=chunk, rule=rule
+        )
+
+    return kernel(
+        data, null_mask, col_idx, col_mask, tr_idx, tr_mask, te_idx, te_mask
+    )
 
 
 def sharded_kde_slogl(mesh: Mesh, train_white, test_white, lognorm):
