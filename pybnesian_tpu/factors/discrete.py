@@ -205,6 +205,8 @@ class DiscreteFactor(Factor):
 
     # ---------------------------------------------------------------- string
     def ToString(self) -> str:
+        """Header plus a CPT table when fitted (the reference renders libfort
+        tables, DiscreteAdaptator.hpp includes <fort.hpp>)."""
         v = self._variable
         if self._evidence:
             ev = ", ".join(self._evidence)
@@ -213,7 +215,29 @@ class DiscreteFactor(Factor):
             header = f"[DiscreteFactor] P({v})"
         if not self._fitted:
             return header + " not fitted"
-        return header
+        cats = self._categories[self._variable]
+        k = len(cats)
+        prob = np.exp(self._logprob).reshape(-1, k)
+        lines = [header]
+        if self._evidence:
+            ev_cards = [len(self._categories[e]) for e in self._evidence]
+            for cfg in range(prob.shape[0]):
+                rem = cfg
+                assignment = []
+                for e, card in zip(self._evidence, ev_cards):
+                    assignment.append(f"{e}={self._categories[e][rem % card]}")
+                    rem //= card
+                row = ", ".join(
+                    f"P({c})={p:.4f}" for c, p in zip(cats, prob[cfg])
+                )
+                lines.append("  [" + ", ".join(assignment) + "] " + row)
+        else:
+            lines.append(
+                "  " + ", ".join(
+                    f"P({c})={p:.4f}" for c, p in zip(cats, prob[0])
+                )
+            )
+        return "\n".join(lines)
 
     # --------------------------------------------------------------- pickle
     def __getstate__(self):

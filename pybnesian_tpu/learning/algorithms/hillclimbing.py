@@ -54,6 +54,11 @@ class GreedyHillClimbing:
         type_blacklist = list(type_blacklist or [])
         type_whitelist = list(type_whitelist or [])
 
+        from ...utils.progress import spinner
+
+        progress = spinner(verbose)
+        progress.update_status("Checking dataset...")
+
         validated = isinstance(score, ValidatedScore)
         zero_patience = patience == 0
 
@@ -140,10 +145,12 @@ class GreedyHillClimbing:
                 callback.call(current_model, best_op, score, iteration)
 
             operators.update_scores(current_model, score, nodes_changed)
+            progress.update_status(best_op.ToString())
 
         operators.finished()
         if callback is not None:
             callback.call(best_model, None, score, iteration)
+        progress.mark_as_completed("Finished Hill-climbing!")
         return best_model
 
 
