@@ -43,7 +43,7 @@ from .kde import (
     ProductKDE,
     ScottsBandwidth,
 )
-from .kde.ucv import UCV
+from .kde.ucv import UCV, UCVScorer
 from .models import (
     BayesianNetwork,
     BayesianNetworkBase,
@@ -112,7 +112,12 @@ from .learning.operators import (
     OperatorTabuSet,
     RemoveArc,
 )
-from .learning.parameters import MLE, LinearGaussianParams
+from .learning.parameters import (
+    MLE,
+    MLEDiscreteFactor,
+    MLELinearGaussianCPD,
+    LinearGaussianParams,
+)
 from .factors.discrete import DiscreteParams as DiscreteFactorParams
 from .learning.algorithms import Callback, GreedyHillClimbing, SaveModel, hc
 from .learning.algorithms.pc import PC, MeekRules

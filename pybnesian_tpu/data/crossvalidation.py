@@ -35,7 +35,7 @@ class CrossValidation:
             )
         rng = np.random.default_rng(self.seed)
         rng.shuffle(indices)
-        self.indices = indices
+        self._indices = indices
 
         n = len(indices)
         fold_size = n // k
@@ -58,9 +58,14 @@ class CrossValidation:
 
     def fold_indices(self, i: int):
         lo, hi = self.limits[i], self.limits[i + 1]
-        test = self.indices[lo:hi]
-        train = np.concatenate([self.indices[: lo], self.indices[hi:]])
+        test = self._indices[lo:hi]
+        train = np.concatenate([self._indices[: lo], self._indices[hi:]])
         return train, test
+
+    def indices(self):
+        """Iterator over (train_indices, test_indices) per fold
+        (reference pybindings_dataset.cpp:67)."""
+        return self.indices_iter()
 
     def indices_iter(self):
         for i in range(self.k):
@@ -73,7 +78,7 @@ class CrossValidation:
         cv.k = self.k
         cv.seed = self.seed
         cv.include_null = self.include_null
-        cv.indices = self.indices
+        cv._indices = self._indices
         cv.limits = self.limits
         return cv
 

@@ -212,6 +212,31 @@ class Assignment:
     def size(self) -> int:
         return len(self._items)
 
+    def empty(self) -> bool:
+        """True when there are no assignments (pybindings_factors.cpp:691)."""
+        return not self._items
+
+    def has_variables(self, variables) -> bool:
+        """True if every name in ``variables`` is assigned
+        (pybindings_factors.cpp:679)."""
+        return all(v in self._items for v in variables)
+
+    def insert(self, variable: str, value) -> None:
+        """Add an assignment (pybindings_factors.cpp:702)."""
+        if isinstance(value, (int, float)) and not isinstance(value, bool):
+            self._items[str(variable)] = float(value)
+        else:
+            self._items[str(variable)] = str(value)
+        self._frozen = frozenset(self._items.items())
+
+    def remove(self, variable: str) -> None:
+        """Remove an assignment (pybindings_factors.cpp:712)."""
+        del self._items[variable]
+        self._frozen = frozenset(self._items.items())
+
+    def __iter__(self):
+        return iter(self._items.items())
+
     def __len__(self) -> int:
         return len(self._items)
 

@@ -50,6 +50,15 @@ class KDE:
     def variables(self) -> list[str]:
         return list(self._variables)
 
+    def num_variables(self) -> int:
+        """Number of variables modelled (reference pybindings_kde.cpp:250)."""
+        return len(self._variables)
+
+    def save(self, filename: str) -> None:
+        from ..utils.pickle import save_object
+
+        save_object(self, filename)
+
     def fitted(self) -> bool:
         return self._fitted
 
@@ -222,6 +231,15 @@ class ProductKDE:
 
     def variables(self) -> list[str]:
         return list(self._variables)
+
+    def num_variables(self) -> int:
+        """Number of variables modelled (reference pybindings_kde.cpp:250)."""
+        return len(self._variables)
+
+    def save(self, filename: str) -> None:
+        from ..utils.pickle import save_object
+
+        save_object(self, filename)
 
     def fitted(self) -> bool:
         return self._fitted

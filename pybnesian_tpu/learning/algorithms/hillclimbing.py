@@ -104,7 +104,7 @@ class GreedyHillClimbing:
             best_op = (
                 operators.find_max(current_model)
                 if zero_patience
-                else operators.find_max(current_model, tabu_set)
+                else operators.find_max_tabu(current_model, tabu_set)
             )
             if best_op is None or (best_op.delta() - epsilon) < MACHINE_TOL:
                 break

@@ -18,6 +18,11 @@ class IndependenceTest:
     def variable_names(self) -> list[str]:
         raise NotImplementedError
 
+    def name(self, index: int) -> str:
+        """Variable name at position ``index``
+        (reference pybindings_independences.cpp:163)."""
+        return self.variable_names()[index]
+
     def has_variables(self, variables) -> bool:
         if isinstance(variables, str):
             variables = [variables]
@@ -49,6 +54,14 @@ class DynamicIndependenceTest:
 
     def variable_names(self) -> list[str]:
         return self.ddf.variables()
+
+    def name(self, index: int) -> str:
+        """Variable name at position ``index``
+        (reference pybindings_independences.cpp:405)."""
+        return self.variable_names()[index]
+
+    def num_variables(self) -> int:
+        return len(self.variable_names())
 
     def has_variables(self, variables) -> bool:
         if isinstance(variables, str):

@@ -292,6 +292,10 @@ class OperatorSet:
         self._local_cache = cache
         self._owns_local_cache = False
 
+    def local_score_cache(self) -> LocalScoreCache | None:
+        """Shared per-node score cache (reference operators.hpp:747)."""
+        return self._local_cache
+
     def _initialize_local_cache(self, model) -> None:
         if self._local_cache is None:
             self._local_cache = LocalScoreCache()
@@ -302,6 +306,12 @@ class OperatorSet:
 
     def find_max(self, model, tabu: OperatorTabuSet | None = None):
         raise NotImplementedError
+
+    def find_max_tabu(self, model, tabu_set: OperatorTabuSet):
+        """Tabu-aware variant — separate overridable entry point, matching
+        the reference's Python-extension contract
+        (pybindings_operators.cpp:779)."""
+        return self.find_max(model, tabu_set)
 
     def update_scores(self, model, score, changed_nodes) -> None:
         raise NotImplementedError
@@ -648,7 +658,7 @@ class OperatorPool(OperatorSet):
     def find_max(self, model, tabu: OperatorTabuSet | None = None):
         best = None
         for s in self._op_sets:
-            op = s.find_max(model, tabu)
+            op = s.find_max(model) if tabu is None else s.find_max_tabu(model, tabu)
             if op is not None and (best is None or op.delta() > best.delta()):
                 best = op
         return best

@@ -17,7 +17,13 @@ import numpy as np
 from ..data import DataFrame
 from ..utils import MACHINE_TOL
 
-__all__ = ["LinearGaussianParams", "MLE", "mle_lineargaussian"]
+__all__ = [
+    "LinearGaussianParams",
+    "MLE",
+    "MLELinearGaussianCPD",
+    "MLEDiscreteFactor",
+    "mle_lineargaussian",
+]
 
 
 @dataclasses.dataclass
@@ -113,23 +119,34 @@ def mle_lineargaussian(df, variable: str, evidence) -> LinearGaussianParams:
     return LinearGaussianParams(beta, float(resid @ resid) / (n - k - 1))
 
 
-class MLE:
-    """Factory mirroring the reference's ``MLE<CPD>`` template
-    (learning/parameters/mle_base.hpp:11)."""
-
-    def __init__(self, factor_type):
-        self.factor_type = factor_type
+class MLELinearGaussianCPD:
+    """MLE estimator for LinearGaussianCPD parameters — the concrete class the
+    reference exposes as ``MLELinearGaussianCPD``
+    (pybindings_learning/pybindings_parameters.cpp:64)."""
 
     def estimate(self, df, variable, evidence):
-        from ..factors.lineargaussian import LinearGaussianCPDType
-        from ..factors.discrete import DiscreteFactorType
+        return mle_lineargaussian(df, variable, evidence)
 
-        if self.factor_type == LinearGaussianCPDType():
-            return mle_lineargaussian(df, variable, evidence)
-        if self.factor_type == DiscreteFactorType():
-            from ..factors.discrete import mle_discrete
 
-            return mle_discrete(df, variable, evidence)
-        raise ValueError(
-            f"MLE not available for factor type {self.factor_type}"
-        )
+class MLEDiscreteFactor:
+    """MLE estimator for DiscreteFactor CPTs
+    (pybindings_learning/pybindings_parameters.cpp:166)."""
+
+    def estimate(self, df, variable, evidence):
+        from ..factors.discrete import mle_discrete
+
+        return mle_discrete(df, variable, evidence)
+
+
+def MLE(factor_type):
+    """Factory mirroring the reference's ``MLE(factor_type)`` dispatcher
+    (learning/parameters/mle_base.hpp:11): returns the concrete estimator
+    object for the given FactorType."""
+    from ..factors.lineargaussian import LinearGaussianCPDType
+    from ..factors.discrete import DiscreteFactorType
+
+    if factor_type == LinearGaussianCPDType():
+        return MLELinearGaussianCPD()
+    if factor_type == DiscreteFactorType():
+        return MLEDiscreteFactor()
+    raise ValueError(f"MLE not available for factor type {factor_type}")

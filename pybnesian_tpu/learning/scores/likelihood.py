@@ -561,6 +561,11 @@ class ValidatedLikelihood(ValidatedScore):
     def holdout_lik(self):
         return self.holdout
 
+    def validation_data(self):
+        """Holdout test split backing the validation channel
+        (pybindings_scores.cpp:653)."""
+        return self.holdout.test_data()
+
     def cv_lik(self):
         return self.cv
 

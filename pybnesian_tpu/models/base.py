@@ -109,6 +109,11 @@ class BayesianNetworkBase:
 
     # subclasses set: self._type, self._graph, self._cpds, self._node_types
 
+    # Whether pickling includes fitted CPDs (reference
+    # pybindings_models.cpp:1117 def_property "include_cpd"); instance
+    # assignment shadows this class default.
+    include_cpd = False
+
     # ------------------------------------------------------------ structure
     def graph(self):
         return self._graph

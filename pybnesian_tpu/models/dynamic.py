@@ -98,6 +98,17 @@ class DynamicBayesianNetwork:
     def transition_bn(self):
         return self._transition
 
+    @property
+    def include_cpd(self) -> bool:
+        """Whether pickling includes fitted CPDs
+        (reference pybindings_models.cpp:2662)."""
+        return bool(getattr(self._static, "include_cpd", False))
+
+    @include_cpd.setter
+    def include_cpd(self, value: bool) -> None:
+        self._static.include_cpd = bool(value)
+        self._transition.include_cpd = bool(value)
+
     def clone(self) -> "DynamicBayesianNetwork":
         new = DynamicBayesianNetwork.__new__(DynamicBayesianNetwork)
         new._variables = list(self._variables)

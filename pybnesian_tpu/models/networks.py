@@ -317,6 +317,13 @@ class HeterogeneousBNType(BayesianNetworkType):
     def single_default(self) -> bool:
         return self.default_map is None
 
+    def default_node_types(self):
+        """Dict of default FactorType lists per data type
+        (reference models/HeterogeneousBN.hpp:115)."""
+        if self.default_map is not None:
+            return dict(self.default_map)
+        return {}
+
     def new_bn(self, nodes):
         arg = self.default_map if self.default_map is not None else self.default_list
         return HeterogeneousBN(arg, nodes)
