@@ -144,6 +144,10 @@ class _GraphBase:
     def collapsed_indices(self) -> dict[str, int]:
         return {self._nodes[i].name: c for c, i in enumerate(self._collapsed)}
 
+    def indices(self) -> dict[str, int]:
+        """name → raw index for every node (reference graph indices())."""
+        return {self._nodes[i].name: i for i in self._collapsed}
+
     # -------------------------------------------------------------- pickle
     def save(self, filename: str) -> None:
         from ..utils.pickle import save_object
@@ -240,6 +244,12 @@ class _ArcOps:
 
     def _is_leaf(self, idx: int) -> bool:
         return not self._nodes[idx].children
+
+    def is_root(self, node) -> bool:
+        return self._is_root(self.check_index(node))
+
+    def is_leaf(self, node) -> bool:
+        return self._is_leaf(self.check_index(node))
 
     def has_path(self, source, target) -> bool:
         """Directed reachability source ⇝ target (BFS over children)."""
@@ -348,11 +358,21 @@ class _ConditionalMixin:
     """Interface-node bookkeeping for conditional graphs
     (reference ConditionalGraphBase, generic_graph.hpp:582-780)."""
 
+    @staticmethod
+    def _swap_remove(order: list[int], idx: int) -> None:
+        pos = order.index(idx)
+        order[pos] = order[-1]
+        order.pop()
+
     def _init_conditional(self, nodes, interface_nodes):
         self._interface: set[int] = set()
+        # Each index space has its own order container so mutating one kind
+        # of node never perturbs the other space (reference keeps nodes and
+        # interface in separate BidirectionalMapIndex, generic_graph.hpp:582).
+        self._plain_order: list[int] = list(self._collapsed)
+        self._iface_order: list[int] = []
         for n in interface_nodes or []:
-            idx = self.add_node(n)
-            self._interface.add(idx)
+            self.add_interface_node(n)
 
     def num_interface_nodes(self) -> int:
         return len(self._interface)
@@ -364,16 +384,10 @@ class _ConditionalMixin:
         return _GraphBase.num_nodes(self) - len(self._interface)
 
     def nodes(self) -> list[str]:
-        return [
-            self._nodes[i].name
-            for i in self._collapsed
-            if i not in self._interface
-        ]
+        return [self._nodes[i].name for i in self._plain_order]
 
     def interface_nodes(self) -> list[str]:
-        return [
-            self._nodes[i].name for i in self._collapsed if i in self._interface
-        ]
+        return [self._nodes[i].name for i in self._iface_order]
 
     def joint_nodes(self) -> list[str]:
         return [self._nodes[i].name for i in self._collapsed]
@@ -387,8 +401,18 @@ class _ConditionalMixin:
     def contains_joint_node(self, name: str) -> bool:
         return self.contains_node(name)
 
+    def add_node(self, name: str) -> int:
+        idx = super().add_node(name)
+        # During base-class __init__ the order containers do not exist yet;
+        # _init_conditional seeds _plain_order from _collapsed afterwards.
+        if hasattr(self, "_plain_order"):
+            self._plain_order.append(idx)
+        return idx
+
     def add_interface_node(self, name: str) -> int:
         idx = self.add_node(name)
+        self._plain_order.pop()  # just appended by add_node
+        self._iface_order.append(idx)
         self._interface.add(idx)
         return idx
 
@@ -403,12 +427,22 @@ class _ConditionalMixin:
         if idx not in self._interface:
             if self._nodes[idx].parents:
                 raise ValueError("Interface nodes cannot have parents.")
+            self._swap_remove(self._plain_order, idx)
+            self._iface_order.append(idx)
             self._interface.add(idx)
 
     def set_node(self, node) -> None:
-        self._interface.discard(self.check_index(node))
+        idx = self.check_index(node)
+        if idx in self._interface:
+            self._swap_remove(self._iface_order, idx)
+            self._plain_order.append(idx)
+            self._interface.discard(idx)
 
     def _remove_node_hooks(self, idx: int) -> None:
+        if idx in self._interface:
+            self._swap_remove(self._iface_order, idx)
+        else:
+            self._swap_remove(self._plain_order, idx)
         self._interface.discard(idx)
 
     # conditional arc/edge legality (generic_graph.hpp:928-946)
@@ -428,6 +462,66 @@ class _ConditionalMixin:
         if idx in self._interface:
             return False
         return not self._nodes[idx].children
+
+    # ---- three collapsed index spaces (reference generic_graph.hpp:687-745):
+    # "collapsed" covers only non-interface nodes in a conditional graph;
+    # "interface_collapsed" covers the interface; "joint_collapsed" covers all.
+    def _collapsed_non_interface(self) -> list[int]:
+        return self._plain_order
+
+    def _collapsed_interface(self) -> list[int]:
+        return self._iface_order
+
+    def collapsed_index(self, name: str) -> int:
+        return self._collapsed_non_interface().index(self.index(name))
+
+    def collapsed_from_index(self, idx: int) -> int:
+        return self._collapsed_non_interface().index(self.check_index(idx))
+
+    def index_from_collapsed(self, cidx: int) -> int:
+        return self._collapsed_non_interface()[cidx]
+
+    def collapsed_name(self, cidx: int) -> str:
+        return self._nodes[self._collapsed_non_interface()[cidx]].name
+
+    def collapsed_indices(self) -> dict[str, int]:
+        return {
+            self._nodes[i].name: c
+            for c, i in enumerate(self._collapsed_non_interface())
+        }
+
+    def interface_collapsed_index(self, name: str) -> int:
+        return self._collapsed_interface().index(self.index(name))
+
+    def interface_collapsed_from_index(self, idx: int) -> int:
+        return self._collapsed_interface().index(self.check_index(idx))
+
+    def index_from_interface_collapsed(self, cidx: int) -> int:
+        return self._collapsed_interface()[cidx]
+
+    def interface_collapsed_name(self, cidx: int) -> str:
+        return self._nodes[self._collapsed_interface()[cidx]].name
+
+    def interface_collapsed_indices(self) -> dict[str, int]:
+        return {
+            self._nodes[i].name: c
+            for c, i in enumerate(self._collapsed_interface())
+        }
+
+    def joint_collapsed_index(self, name: str) -> int:
+        return self._collapsed.index(self.index(name))
+
+    def joint_collapsed_from_index(self, idx: int) -> int:
+        return self._collapsed.index(self.check_index(idx))
+
+    def index_from_joint_collapsed(self, cidx: int) -> int:
+        return self._collapsed[cidx]
+
+    def joint_collapsed_name(self, cidx: int) -> str:
+        return self._nodes[self._collapsed[cidx]].name
+
+    def joint_collapsed_indices(self) -> dict[str, int]:
+        return {self._nodes[i].name: c for c, i in enumerate(self._collapsed)}
 
     def interface_arcs(self) -> list[tuple[str, str]]:
         return [

@@ -142,6 +142,51 @@ class BayesianNetworkBase:
     def name(self, idx: int) -> str:
         return self._graph.name(idx)
 
+    def indices(self) -> dict:
+        return self._graph.indices()
+
+    def collapsed_indices(self) -> dict:
+        return self._graph.collapsed_indices()
+
+    def collapsed_from_index(self, idx: int) -> int:
+        return self._graph.collapsed_from_index(idx)
+
+    def index_from_collapsed(self, cidx: int) -> int:
+        return self._graph.index_from_collapsed(cidx)
+
+    def collapsed_name(self, cidx: int) -> str:
+        return self._graph.collapsed_name(cidx)
+
+    def is_valid(self, idx: int) -> bool:
+        return self._graph.is_valid(idx)
+
+    def is_root(self, node) -> bool:
+        return self._graph.is_root(node)
+
+    def is_leaf(self, node) -> bool:
+        return self._graph.is_leaf(node)
+
+    def can_have_cpd(self, name: str) -> bool:
+        """Whether the node stores a CPD (interface nodes in conditional BNs
+        do not; reference BayesianNetwork.hpp:601,1311)."""
+        return name in self._fit_nodes()
+
+    def check_compatible_cpd(self, cpd) -> None:
+        """Validate a CPD against the model's nodes
+        (reference BayesianNetwork.hpp:863)."""
+        if cpd.variable() not in self._fit_nodes():
+            raise ValueError(
+                "CPD defined on variable which is not present in the model: "
+                + cpd.ToString()
+            )
+        all_nodes = set(self._all_nodes())
+        for ev in cpd.evidence():
+            if ev not in all_nodes:
+                raise ValueError(
+                    f"Evidence variable {ev} is not present in the model: "
+                    + cpd.ToString()
+                )
+
     def collapsed_index(self, name: str) -> int:
         return self._graph.collapsed_index(name)
 
@@ -583,6 +628,62 @@ class ConditionalBayesianNetwork(BayesianNetworkBase):
 
     def interface_arcs(self) -> list[tuple[str, str]]:
         return self._graph.interface_arcs()
+
+    # ------- interface-node mutation + collapsed spaces (graph delegation,
+    # reference pybindings_models ConditionalBayesianNetworkBase surface)
+    def num_joint_nodes(self) -> int:
+        return self._graph.num_joint_nodes()
+
+    def contains_interface_node(self, name: str) -> bool:
+        return self._graph.contains_interface_node(name)
+
+    def contains_joint_node(self, name: str) -> bool:
+        return self._graph.contains_joint_node(name)
+
+    def add_interface_node(self, name: str) -> int:
+        return self._graph.add_interface_node(name)
+
+    def remove_interface_node(self, node) -> None:
+        self._graph.remove_interface_node(node)
+
+    def set_interface(self, node) -> None:
+        name = node if isinstance(node, str) else self._graph.name(node)
+        self._graph.set_interface(node)
+        self._cpds.pop(name, None)
+        self._node_types.pop(name, None)
+
+    def set_node(self, node) -> None:
+        self._graph.set_node(node)
+
+    def interface_collapsed_index(self, name: str) -> int:
+        return self._graph.interface_collapsed_index(name)
+
+    def interface_collapsed_from_index(self, idx: int) -> int:
+        return self._graph.interface_collapsed_from_index(idx)
+
+    def index_from_interface_collapsed(self, cidx: int) -> int:
+        return self._graph.index_from_interface_collapsed(cidx)
+
+    def interface_collapsed_name(self, cidx: int) -> str:
+        return self._graph.interface_collapsed_name(cidx)
+
+    def interface_collapsed_indices(self) -> dict:
+        return self._graph.interface_collapsed_indices()
+
+    def joint_collapsed_index(self, name: str) -> int:
+        return self._graph.joint_collapsed_index(name)
+
+    def joint_collapsed_from_index(self, idx: int) -> int:
+        return self._graph.joint_collapsed_from_index(idx)
+
+    def index_from_joint_collapsed(self, cidx: int) -> int:
+        return self._graph.index_from_joint_collapsed(cidx)
+
+    def joint_collapsed_name(self, cidx: int) -> str:
+        return self._graph.joint_collapsed_name(cidx)
+
+    def joint_collapsed_indices(self) -> dict:
+        return self._graph.joint_collapsed_indices()
 
     def _all_nodes(self) -> list[str]:
         return self._graph.joint_nodes()

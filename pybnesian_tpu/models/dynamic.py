@@ -92,6 +92,38 @@ class DynamicBayesianNetwork:
     def num_variables(self) -> int:
         return len(self._variables)
 
+    def contains_variable(self, name: str) -> bool:
+        return name in self._variables
+
+    def add_variable(self, name: str) -> None:
+        """Add a variable: node in the transition slice 0 plus one node per
+        past slice in static/interface (reference
+        DynamicBayesianNetwork.cpp:37-52)."""
+        if self.contains_variable(name):
+            raise ValueError(
+                f"Cannot add variable {name}: a variable with the same name "
+                "already exists."
+            )
+        self._variables.append(name)
+        self._transition.add_node(temporal_name(name, 0))
+        for i in range(1, self._markovian_order + 1):
+            slice_name = temporal_name(name, i)
+            self._static.add_node(slice_name)
+            self._transition.add_interface_node(slice_name)
+
+    def remove_variable(self, name: str) -> None:
+        """(reference DynamicBayesianNetwork.cpp:54-68)."""
+        if not self.contains_variable(name):
+            raise ValueError(
+                f"Cannot remove variable {name}: no variable with that name."
+            )
+        self._variables.remove(name)
+        self._transition.remove_node(temporal_name(name, 0))
+        for i in range(1, self._markovian_order + 1):
+            slice_name = temporal_name(name, i)
+            self._static.remove_node(slice_name)
+            self._transition.remove_interface_node(slice_name)
+
     def static_bn(self):
         return self._static
 

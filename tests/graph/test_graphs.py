@@ -209,3 +209,52 @@ def test_graph_pickle_roundtrip():
     cg2 = pickle.loads(pickle.dumps(cg))
     assert cg2.interface_nodes() == ["i"]
     assert cg2.arcs() == [("i", "a")]
+
+
+def test_conditional_collapsed_index_spaces():
+    """Conditional graphs expose three dense index spaces: collapsed
+    (non-interface only), interface_collapsed, joint_collapsed (reference
+    generic_graph.hpp:687-745)."""
+    from pybnesian_tpu import ConditionalDag
+
+    g = ConditionalDag(["x", "y"], ["i", "j"])
+    assert g.collapsed_indices() == {"x": 0, "y": 1}
+    assert g.interface_collapsed_indices() == {"i": 0, "j": 1}
+    assert g.joint_collapsed_indices() == {"x": 0, "y": 1, "i": 2, "j": 3}
+    assert g.collapsed_name(0) == "x"
+    assert g.interface_collapsed_name(1) == "j"
+    assert g.joint_collapsed_name(3) == "j"
+    assert g.index_from_collapsed(1) == g.index("y")
+    assert g.index_from_interface_collapsed(0) == g.index("i")
+    assert g.index_from_joint_collapsed(2) == g.index("i")
+    assert g.collapsed_index("y") == 1
+    assert g.interface_collapsed_index("j") == 1
+    assert g.joint_collapsed_index("i") == 2
+    # removal keeps spaces dense
+    g.remove_node("x")
+    assert g.collapsed_indices() == {"y": 0}
+    assert g.interface_collapsed_indices() == {"i": 0, "j": 1}
+
+
+def test_is_root_is_leaf_indices():
+    from pybnesian_tpu import Dag
+
+    d = Dag(["a", "b", "c"], [("a", "b"), ("b", "c")])
+    assert d.is_root("a") and not d.is_root("b")
+    assert d.is_leaf("c") and not d.is_leaf("b")
+    assert d.indices() == {"a": 0, "b": 1, "c": 2}
+
+
+def test_dynamic_bn_add_remove_variable():
+    from pybnesian_tpu import DynamicGaussianNetwork
+
+    dbn = DynamicGaussianNetwork(["a", "b"], 2)
+    dbn.add_variable("c")
+    assert dbn.contains_variable("c")
+    assert dbn.static_bn().contains_node("c_t_1")
+    assert dbn.static_bn().contains_node("c_t_2")
+    assert dbn.transition_bn().contains_node("c_t_0")
+    assert dbn.transition_bn().contains_interface_node("c_t_1")
+    dbn.remove_variable("c")
+    assert not dbn.contains_variable("c")
+    assert not dbn.static_bn().contains_node("c_t_1")
