@@ -1,0 +1,111 @@
+"""BASELINE config 4: PC-stable with partial correlation on a 50-node
+Gaussian network, 100k rows — exercises the batched independence-test
+kernels (learning/independences/linearcorrelation.py cached-covariance
+algebra vs the reference's per-pair Eigen path, pc.cpp:222-263).
+
+Metric: conditional-independence p-value evaluations per second inside a
+full PC run, vs a serial scipy partial-correlation baseline.
+
+Prints ONE JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+
+N_NODES = 50
+N_ROWS = 100_000
+
+
+def make_data(n=N_ROWS, d=N_NODES, seed=0):
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    cols = {}
+    order = [f"v{i}" for i in range(d)]
+    for i, name in enumerate(order):
+        base = rng.normal(0, 1, n)
+        if i >= 1 and rng.random() < 0.6:
+            base += 0.8 * cols[order[i - 1]]
+        if i >= 2 and rng.random() < 0.3:
+            base += 0.5 * cols[order[i - 2]]
+        cols[name] = base
+    return pd.DataFrame(cols)
+
+
+class _CountingTest:
+    def __init__(self, inner):
+        self.inner = inner
+        self.count = 0
+
+    def pvalue(self, *a):
+        self.count += 1
+        return self.inner.pvalue(*a)
+
+    def variable_names(self):
+        return self.inner.variable_names()
+
+    def num_variables(self):
+        return self.inner.num_variables()
+
+    def name(self, i):
+        return self.inner.name(i)
+
+    def has_variables(self, v):
+        return self.inner.has_variables(v)
+
+
+def bench_ours(df):
+    from pybnesian_tpu import PC, LinearCorrelation
+
+    test = _CountingTest(LinearCorrelation(df))
+    t0 = time.time()
+    pdag = PC().estimate(test, alpha=0.05)
+    elapsed = time.time() - t0
+    return test.count / elapsed, test.count, pdag.num_arcs() + pdag.num_edges()
+
+
+def bench_baseline(df, n_tests=200):
+    """Serial scipy: residualize then pearson, one pair at a time."""
+    from scipy import stats
+
+    mat = df.to_numpy()
+    d = mat.shape[1]
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    for _ in range(n_tests):
+        i, j, k = rng.choice(d, 3, replace=False)
+        zi = mat[:, [k]]
+        ri = mat[:, i] - zi @ np.linalg.lstsq(zi, mat[:, i], rcond=None)[0]
+        rj = mat[:, j] - zi @ np.linalg.lstsq(zi, mat[:, j], rcond=None)[0]
+        stats.pearsonr(ri, rj)
+    return n_tests / (time.time() - t0)
+
+
+def main():
+    df = make_data()
+    rate, n_tests, n_links = bench_ours(df)
+    base = bench_baseline(df)
+    print(json.dumps({
+        "metric": "config4_pc_pvalues_per_s_50n_100k",
+        "value": round(rate, 1),
+        "unit": f"pvalues/s (PC-stable, {n_tests} tests, {n_links} links)",
+        "vs_baseline": round(rate / base, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

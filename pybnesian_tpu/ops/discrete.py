@@ -33,12 +33,19 @@ def _family_counts(codes, cards, vi, pi, pm, max_cells, max_pconfigs):
     num_pconfigs = jnp.prod(pcard)
     cell = vcode + vcard * pconfig
     cell = jnp.where(valid, cell, max_cells)
+    # Histogram via comparison-reduction rather than scatter-add: TPU
+    # scatters serialize, while an (C, N) equality + row-reduce fuses onto
+    # the VPU in tiles (C and N are both static here).
     # default float dtype: f64 under jax_enable_x64 (tests), f32 on TPU
-    counts = jnp.zeros(max_cells + 1)
-    counts = counts.at[cell].add(1.0)[:max_cells]
+    one = jnp.ones((), jnp.zeros(0).dtype)
+    counts = jnp.sum(
+        (jnp.arange(max_cells)[:, None] == cell[None, :]) * one, axis=1
+    )
     pconfig_safe = jnp.where(valid, pconfig, max_pconfigs)
-    pcounts = jnp.zeros(max_pconfigs + 1, counts.dtype)
-    pcounts = pcounts.at[pconfig_safe].add(1.0)[:max_pconfigs]
+    pcounts = jnp.sum(
+        (jnp.arange(max_pconfigs)[:, None] == pconfig_safe[None, :]) * one,
+        axis=1,
+    )
     return counts, pcounts, vcard * num_pconfigs, num_pconfigs, vcard, jnp.sum(valid)
 
 

@@ -6,6 +6,7 @@ from .config import (
     set_dtype_policy,
     trace,
 )
+from .checkpoint import load_pytree, nuts_checkpointed, save_pytree
 
 __all__ = [
     "RuntimeConfig",
@@ -14,4 +15,7 @@ __all__ = [
     "dtype_policy",
     "set_dtype_policy",
     "trace",
+    "save_pytree",
+    "load_pytree",
+    "nuts_checkpointed",
 ]
