@@ -148,3 +148,41 @@ def test_pc_to_dag():
     pdag = PC().estimate(LinearCorrelation(df), alpha=0.05)
     dag = pdag.to_dag()
     assert dag.is_dag()
+
+
+def test_meek_rules_to_fixpoint_koller_3_13():
+    """Koller & Friedman Fig. 3.13 (p. 90): iterating the three Meek rules
+    on the published PDAG reaches the known fixpoint (same golden example
+    the reference validates against, constraint_test.py)."""
+    from pybnesian_tpu import PartiallyDirectedGraph
+
+    g = PartiallyDirectedGraph(
+        ["A", "B", "C", "D", "E", "F", "G"],
+        [("B", "E"), ("C", "E")],
+        [("A", "B"), ("B", "D"), ("C", "F"), ("E", "F"), ("F", "G")],
+    )
+    changed = True
+    while changed:
+        changed = (
+            MeekRules.rule1(g) or MeekRules.rule2(g) or MeekRules.rule3(g)
+        )
+    assert {tuple(sorted(e)) for e in g.edges()} == {("A", "B"), ("B", "D")}
+    assert set(g.arcs()) == {
+        ("B", "E"), ("C", "E"), ("E", "F"), ("C", "F"), ("F", "G")
+    }
+
+
+def test_meek_rule3_koller_3_12():
+    """Koller Fig. 3.12 rule-3 case: X−Y1, X−Y2, X−Z undirected with
+    Y1→Z, Y2→Z directs X→Z only."""
+    from pybnesian_tpu import PartiallyDirectedGraph
+
+    g = PartiallyDirectedGraph(
+        ["X", "Y1", "Y2", "Z"],
+        [("Y1", "Z"), ("Y2", "Z")],
+        [("X", "Y1"), ("X", "Y2"), ("X", "Z")],
+    )
+    assert MeekRules.rule3(g)
+    assert {tuple(sorted(e)) for e in g.edges()} == {("X", "Y1"), ("X", "Y2")}
+    assert set(g.arcs()) == {("X", "Z"), ("Y1", "Z"), ("Y2", "Z")}
+    assert not MeekRules.rule3(g)
