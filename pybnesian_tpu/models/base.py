@@ -539,10 +539,71 @@ class BayesianNetworkBase:
         return self.ToString()
 
 
+def _classify_bn_arg(value):
+    """Classify one positional model-constructor argument the way the
+    reference's pybind11 overload set does (pybindings_models.cpp:2213-2556):
+    a graph object, a node-name list, an arc list, or a node-type list."""
+    if value is None:
+        return None
+    if isinstance(value, (Dag, ConditionalDag)) or (
+        not isinstance(value, (list, tuple)) and hasattr(value, "to_dag")
+    ):
+        return "graph"
+    if isinstance(value, (list, tuple)):
+        seq = list(value)
+        if not seq:
+            return "names"
+        first = seq[0]
+        if isinstance(first, str):
+            return "names"
+        if isinstance(first, (tuple, list)) and len(first) == 2:
+            if isinstance(first[1], FactorType):
+                return "node_types"
+            return "arcs"
+    raise TypeError(
+        f"Cannot interpret model constructor argument {value!r}: expected a "
+        "graph, node-name list, arc list, or (node, FactorType) list"
+    )
+
+
+def _reslot_bn_args(positional, n_name_slots):
+    """Re-dispatch positional constructor values into (names..., arcs, graph,
+    node_types) slots, mirroring the reference's overload resolution. The
+    first ``n_name_slots`` str-lists fill the name slots in order (nodes,
+    then interface_nodes for conditional networks)."""
+    names = []
+    arcs = graph = node_types = None
+    for value in positional:
+        kind = _classify_bn_arg(value)
+        if kind is None:
+            continue
+        if kind == "names" and len(names) < n_name_slots:
+            names.append(list(value))
+        elif kind in ("names", "arcs"):
+            if arcs is not None:
+                raise TypeError("Duplicate arc list in model constructor")
+            arcs = [tuple(a) for a in value]
+        elif kind == "graph":
+            if graph is not None:
+                raise TypeError("Duplicate graph in model constructor")
+            graph = value
+        else:
+            if node_types is not None:
+                raise TypeError("Duplicate node-type list in model constructor")
+            node_types = [tuple(t) for t in value]
+    while len(names) < n_name_slots:
+        names.append(None)
+    return (*names, arcs, graph, node_types)
+
+
 class BayesianNetwork(BayesianNetworkBase):
     """Generic unconditional BN (reference BNGeneric over Dag)."""
 
-    def __init__(self, type: BayesianNetworkType, nodes=None, arcs=None, graph=None):
+    def __init__(self, type: BayesianNetworkType, nodes=None, arcs=None,
+                 graph=None, node_types=None):
+        nodes, arcs, graph, node_types = _reslot_bn_args(
+            (nodes, arcs, graph, node_types), 1
+        )
         self._type = type
         self._cpds = {}
         self._node_types = {}
@@ -560,6 +621,8 @@ class BayesianNetwork(BayesianNetworkBase):
                         f"Arc {s} -> {t} not allowed by {type.ToString()}"
                     )
                 self._graph.add_arc(s, t)
+        for (n, ft) in node_types or []:
+            self.set_node_type(n, ft)
 
     def conditional_bn(self, nodes=None, interface_nodes=None):
         """(reference BNGeneric::conditional_bn:1068)."""
@@ -601,7 +664,10 @@ class ConditionalBayesianNetwork(BayesianNetworkBase):
     (reference models/BayesianNetwork.hpp:1237-1314)."""
 
     def __init__(self, type: BayesianNetworkType, nodes=None,
-                 interface_nodes=None, arcs=None, graph=None):
+                 interface_nodes=None, arcs=None, graph=None, node_types=None):
+        nodes, interface_nodes, arcs, graph, node_types = _reslot_bn_args(
+            (nodes, interface_nodes, arcs, graph, node_types), 2
+        )
         self._type = type
         self._cpds = {}
         self._node_types = {}
@@ -613,6 +679,8 @@ class ConditionalBayesianNetwork(BayesianNetworkBase):
             )
             for (s, t) in arcs or []:
                 self._graph.add_arc(s, t)
+        for (n, ft) in node_types or []:
+            self.set_node_type(n, ft)
 
     def interface_nodes(self) -> list[str]:
         return self._graph.interface_nodes()

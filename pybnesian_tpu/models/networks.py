@@ -382,19 +382,16 @@ class ConditionalKDENetwork(ConditionalBayesianNetwork):
 
 class SemiparametricBN(BayesianNetwork):
     def __init__(self, nodes=None, arcs=None, graph=None, node_types=None):
-        super().__init__(SemiparametricBNType(), nodes, arcs, graph)
-        for name, ftype in node_types or []:
-            self.set_node_type(name, ftype)
+        super().__init__(SemiparametricBNType(), nodes, arcs, graph, node_types)
 
 
 class ConditionalSemiparametricBN(ConditionalBayesianNetwork):
     def __init__(self, nodes=None, interface_nodes=None, arcs=None, graph=None,
                  node_types=None):
         super().__init__(
-            SemiparametricBNType(), nodes, interface_nodes, arcs, graph
+            SemiparametricBNType(), nodes, interface_nodes, arcs, graph,
+            node_types
         )
-        for name, ftype in node_types or []:
-            self.set_node_type(name, ftype)
 
 
 class CLGNetwork(BayesianNetwork):
@@ -424,10 +421,9 @@ class HeterogeneousBN(BayesianNetwork):
     def __init__(self, default_factor_types, nodes=None, arcs=None, graph=None,
                  node_types=None):
         super().__init__(
-            HeterogeneousBNType(default_factor_types), nodes, arcs, graph
+            HeterogeneousBNType(default_factor_types), nodes, arcs, graph,
+            node_types
         )
-        for name, ftype in node_types or []:
-            self.set_node_type(name, ftype)
 
 
 class ConditionalHeterogeneousBN(ConditionalBayesianNetwork):
@@ -439,6 +435,5 @@ class ConditionalHeterogeneousBN(ConditionalBayesianNetwork):
             interface_nodes,
             arcs,
             graph,
+            node_types,
         )
-        for name, ftype in node_types or []:
-            self.set_node_type(name, ftype)
