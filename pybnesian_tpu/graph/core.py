@@ -49,6 +49,18 @@ class _Node:
         self.valid = True
 
 
+def _is_pair_list(value):
+    """True when ``value`` is a non-empty sequence of 2-tuples (an arc/edge
+    list rather than a node-name list) — the discriminator the reference's
+    pybind11 overloads use (pybindings_graph.cpp:1035-1271)."""
+    return (
+        isinstance(value, (list, tuple))
+        and len(value) > 0
+        and isinstance(value[0], (tuple, list))
+        and len(value[0]) == 2
+    )
+
+
 class _GraphBase:
     """Name↔index bookkeeping shared by all graph classes."""
 
@@ -539,6 +551,8 @@ class _ConditionalMixin:
 # ================================================================ concrete
 class UndirectedGraph(_GraphBase, _EdgeOps):
     def __init__(self, nodes=None, edges=None):
+        if edges is None and _is_pair_list(nodes):
+            nodes, edges = None, nodes
         super().__init__(nodes)
         for u, v in edges or []:
             if not self.contains_node(u):
@@ -573,6 +587,8 @@ class UndirectedGraph(_GraphBase, _EdgeOps):
 
 class DirectedGraph(_GraphBase, _ArcOps):
     def __init__(self, nodes=None, arcs=None):
+        if arcs is None and _is_pair_list(nodes):
+            nodes, arcs = None, nodes
         super().__init__(nodes)
         for s, t in arcs or []:
             if not self.contains_node(s):
@@ -768,6 +784,9 @@ class PartiallyDirectedGraph(_GraphBase, _ArcOps, _EdgeOps):
     """PDAG with both arcs and edges (reference generic_graph.hpp:1716)."""
 
     def __init__(self, nodes=None, arcs=None, edges=None):
+        # 2-arg reference overload: (arcs, edges) (pybindings_graph.cpp:1239)
+        if edges is None and arcs is not None and _is_pair_list(nodes):
+            nodes, arcs, edges = None, nodes, arcs
         super().__init__(nodes)
         for s, t in arcs or []:
             if not self.contains_node(s):

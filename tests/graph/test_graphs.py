@@ -258,3 +258,18 @@ def test_dynamic_bn_add_remove_variable():
     dbn.remove_variable("c")
     assert not dbn.contains_variable("c")
     assert not dbn.static_bn().contains_node("c_t_1")
+
+
+def test_graph_pair_list_overloads():
+    """Reference 1/2-arg overloads: arcs-only, edges-only, (arcs, edges)
+    (pybindings_graph.cpp:1043,1205,1239)."""
+    import pybnesian_tpu as pbn
+
+    g = pbn.Dag([("a", "b"), ("b", "c")])
+    assert set(g.nodes()) == {"a", "b", "c"}
+    assert set(g.arcs()) == {("a", "b"), ("b", "c")}
+    g = pbn.UndirectedGraph([("a", "b")])
+    assert g.num_edges() == 1 and set(g.nodes()) == {"a", "b"}
+    g = pbn.PartiallyDirectedGraph([("a", "b")], [("b", "c")])
+    assert g.arcs() == [("a", "b")] and g.edges() == [("b", "c")]
+    assert set(g.nodes()) == {"a", "b", "c"}
