@@ -172,20 +172,34 @@ class BayesianNetworkBase:
         return name in self._fit_nodes()
 
     def check_compatible_cpd(self, cpd) -> None:
-        """Validate a CPD against the model's nodes
-        (reference BayesianNetwork.hpp:863)."""
+        """Validate a CPD against the model's nodes, parent sets and node
+        types (reference BayesianNetwork.hpp:863-911)."""
         if cpd.variable() not in self._fit_nodes():
             raise ValueError(
-                "CPD defined on variable which is not present in the model: "
+                "CPD defined on variable which is not present in the model:\n"
                 + cpd.ToString()
             )
         all_nodes = set(self._all_nodes())
-        for ev in cpd.evidence():
+        evidence = list(cpd.evidence())
+        for ev in evidence:
             if ev not in all_nodes:
                 raise ValueError(
-                    f"Evidence variable {ev} is not present in the model: "
+                    f"Evidence variable {ev} is not present in the model:\n"
                     + cpd.ToString()
                 )
+        pa = self.parents(cpd.variable())
+        if len(pa) != len(evidence) or set(pa) != set(evidence):
+            raise ValueError(
+                "CPD do not have the model's parent set as evidence:\n"
+                + cpd.ToString()
+                + "\nParents: " + ", ".join(pa)
+            )
+        nt = self.node_type(cpd.variable())
+        if nt != UnknownFactorType() and cpd.type() != nt:
+            raise ValueError(
+                f"Factor {cpd.ToString()} is of type {cpd.type().ToString()}."
+                f" Bayesian network expects type {nt.ToString()}"
+            )
 
     def collapsed_index(self, name: str) -> int:
         return self._graph.collapsed_index(name)
@@ -281,7 +295,9 @@ class BayesianNetworkBase:
         return self._node_types.get(name, UnknownFactorType())
 
     def node_types(self) -> dict:
-        return {n: self.node_type(n) for n in self._all_nodes()}
+        # Only non-interface nodes carry a type (reference
+        # BayesianNetwork.hpp node_types over nodes()).
+        return {n: self.node_type(n) for n in self.nodes()}
 
     def set_node_type(self, node, node_type: FactorType) -> None:
         name = node if isinstance(node, str) else self._graph.name(node)
@@ -358,30 +374,25 @@ class BayesianNetworkBase:
         name = node if isinstance(node, str) else self._graph.name(node)
         cpd = self._cpds.get(name)
         if cpd is None:
-            raise ValueError(f"CPD of variable '{name}' not added.")
+            raise ValueError(
+                f'CPD of variable "{name}" not added. Call add_cpds() or '
+                "fit() to add the CPD."
+            )
         return cpd
 
     def add_cpds(self, cpds: Sequence) -> None:
+        """(reference BayesianNetwork.hpp:913-940): validate every CPD,
+        resolve UnknownFactorType nodes from the CPD types, then store."""
         for cpd in cpds:
-            name = cpd.variable()
-            if not self.contains_node(name):
-                raise ValueError(
-                    f"CPD variable '{name}' is not a node of the network"
-                )
-            if not self._type.is_homogeneous():
-                if not self._type.compatible_node_type(self, name, cpd.type()):
-                    raise ValueError(
-                        f"CPD type {cpd.type()} not compatible with node "
-                        f"{name}"
-                    )
-                self._node_types[name] = cpd.type()
-            else:
-                if cpd.type() != self._type.default_node_type():
-                    raise ValueError(
-                        f"CPD type {cpd.type()} invalid for homogeneous "
-                        f"network {self._type.ToString()}"
-                    )
-            self._cpds[name] = cpd
+            self.check_compatible_cpd(cpd)
+        new_types = [
+            (c.variable(), c.type())
+            for c in cpds
+            if self.node_type(c.variable()) == UnknownFactorType()
+        ]
+        self.force_type_whitelist(new_types)
+        for cpd in cpds:
+            self._cpds[cpd.variable()] = cpd
 
     def fitted(self) -> bool:
         for n in self._fit_nodes():
@@ -561,8 +572,9 @@ def _classify_bn_arg(value):
                 return "node_types"
             return "arcs"
     raise TypeError(
-        f"Cannot interpret model constructor argument {value!r}: expected a "
-        "graph, node-name list, arc list, or (node, FactorType) list"
+        "incompatible constructor arguments: cannot interpret "
+        f"{value!r}: expected a graph, node-name list, arc list, or "
+        "(node, FactorType) list"
     )
 
 

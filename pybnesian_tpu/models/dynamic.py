@@ -48,8 +48,9 @@ __all__ = [
 class DynamicBayesianNetwork:
     def __init__(self, type_or_variables, variables_or_order=None,
                  markovian_order=None, static_bn=None, transition_bn=None):
-        # Accept (type, variables, markovian_order) or (variables, order) with
-        # explicit networks (reference exposes both ctors).
+        # Reference ctors (DynamicBayesianNetwork.hpp:43-100):
+        # (type, variables, markovian_order) or
+        # (variables, markovian_order, static_bn, transition_bn).
         if isinstance(type_or_variables, BayesianNetworkType):
             bn_type = type_or_variables
             variables = list(variables_or_order)
@@ -57,10 +58,20 @@ class DynamicBayesianNetwork:
         else:
             variables = list(type_or_variables)
             m = int(variables_or_order)
+            if transition_bn is None and markovian_order is not None:
+                # 4-positional form shifts the networks into later slots.
+                static_bn, transition_bn = markovian_order, static_bn
             if static_bn is None or transition_bn is None:
                 raise ValueError(
                     "Either a BayesianNetworkType or explicit static and "
                     "transition networks are required"
+                )
+            bn_type = None
+        if static_bn is not None and transition_bn is not None:
+            if static_bn.type() != transition_bn.type():
+                raise ValueError(
+                    "Static and transition Bayesian networks do not have "
+                    "the same type."
                 )
             bn_type = transition_bn.type()
         self._variables = variables
@@ -78,6 +89,24 @@ class DynamicBayesianNetwork:
             )
         if not isinstance(self._transition, ConditionalBayesianNetwork):
             raise ValueError("transition_bn must be a conditional BN")
+        for v in variables:
+            present = temporal_name(v, 0)
+            if not self._transition.contains_node(present):
+                raise ValueError(
+                    f"Node {present} not present in transition "
+                    "BayesianNetwork."
+                )
+            for i in range(1, m + 1):
+                name = temporal_name(v, i)
+                if not self._static.contains_node(name):
+                    raise ValueError(
+                        f"Node {name} not present in static BayesianNetwork."
+                    )
+                if not self._transition.contains_interface_node(name):
+                    raise ValueError(
+                        f"Interface node {name} not present in transition "
+                        "BayesianNetwork."
+                    )
 
     # ------------------------------------------------------------- surface
     def type(self) -> BayesianNetworkType:
@@ -283,13 +312,17 @@ class DynamicBayesianNetwork:
             self._transition.include_cpd = prev_t
 
     def __getstate__(self):
-        return {
+        state = {
             "variables": self._variables,
             "markovian_order": self._markovian_order,
             "type": self._type,
             "static": self._static,
             "transition": self._transition,
         }
+        extra = getattr(self, "__getstate_extra__", None)
+        if callable(extra):
+            state["extra"] = extra()
+        return state
 
     def __setstate__(self, state):
         self._variables = state["variables"]
@@ -297,12 +330,24 @@ class DynamicBayesianNetwork:
         self._type = state["type"]
         self._static = state["static"]
         self._transition = state["transition"]
+        if "extra" in state:
+            setter = getattr(self, "__setstate_extra__", None)
+            if callable(setter):
+                setter(state["extra"])
 
 
-def _dynamic_wrapper(name, type_factory):
+def _dynamic_wrapper(name, type_factory, type_err):
     class _Dynamic(DynamicBayesianNetwork):
-        def __init__(self, variables, markovian_order, *args):
-            super().__init__(type_factory(*args), variables, markovian_order)
+        def __init__(self, variables, markovian_order,
+                     static_bn=None, transition_bn=None):
+            if static_bn is not None or transition_bn is not None:
+                super().__init__(
+                    variables, markovian_order, static_bn, transition_bn
+                )
+                if self._type != type_factory():
+                    raise ValueError(type_err)
+            else:
+                super().__init__(type_factory(), variables, markovian_order)
 
     _Dynamic.__name__ = name
     _Dynamic.__qualname__ = name
@@ -310,25 +355,62 @@ def _dynamic_wrapper(name, type_factory):
 
 
 DynamicGaussianNetwork = _dynamic_wrapper(
-    "DynamicGaussianNetwork", GaussianNetworkType
+    "DynamicGaussianNetwork", GaussianNetworkType,
+    "Bayesian networks are not Gaussian."
 )
-DynamicDiscreteBN = _dynamic_wrapper("DynamicDiscreteBN", DiscreteBNType)
-DynamicKDENetwork = _dynamic_wrapper("DynamicKDENetwork", KDENetworkType)
+DynamicDiscreteBN = _dynamic_wrapper(
+    "DynamicDiscreteBN", DiscreteBNType, "Bayesian networks are not discrete."
+)
+DynamicKDENetwork = _dynamic_wrapper(
+    "DynamicKDENetwork", KDENetworkType,
+    "Bayesian networks are not KDE networks."
+)
 DynamicSemiparametricBN = _dynamic_wrapper(
-    "DynamicSemiparametricBN", SemiparametricBNType
+    "DynamicSemiparametricBN", SemiparametricBNType,
+    "Bayesian networks are not semiparametric."
 )
-DynamicCLGNetwork = _dynamic_wrapper("DynamicCLGNetwork", CLGNetworkType)
+DynamicCLGNetwork = _dynamic_wrapper(
+    "DynamicCLGNetwork", CLGNetworkType, "Bayesian networks are not Gaussian."
+)
 
 
 class DynamicHomogeneousBN(DynamicBayesianNetwork):
-    def __init__(self, factor_type, variables, markovian_order):
-        super().__init__(
-            HomogeneousBNType(factor_type), variables, markovian_order
-        )
+    def __init__(self, factor_type, variables=None, markovian_order=None,
+                 static_bn=None, transition_bn=None):
+        from ..factors.base import FactorType
+
+        if isinstance(factor_type, FactorType):
+            super().__init__(
+                HomogeneousBNType(factor_type), variables, markovian_order
+            )
+        else:
+            # (variables, markovian_order, static_bn, transition_bn)
+            super().__init__(
+                factor_type, variables, markovian_order, static_bn
+            )
+            if not isinstance(self._type, HomogeneousBNType):
+                raise ValueError("Bayesian networks are not HomogeneousBNType.")
 
 
 class DynamicHeterogeneousBN(DynamicBayesianNetwork):
-    def __init__(self, default_factor_types, variables, markovian_order):
-        super().__init__(
-            HeterogeneousBNType(default_factor_types), variables, markovian_order
+    def __init__(self, default_factor_types, variables=None,
+                 markovian_order=None, static_bn=None, transition_bn=None):
+        from ..factors.base import FactorType
+
+        spec = default_factor_types
+        is_spec = isinstance(spec, (dict, FactorType)) or (
+            isinstance(spec, (list, tuple))
+            and spec
+            and isinstance(spec[0], FactorType)
         )
+        if is_spec:
+            super().__init__(
+                HeterogeneousBNType(spec), variables, markovian_order
+            )
+        else:
+            # (variables, markovian_order, static_bn, transition_bn)
+            super().__init__(spec, variables, markovian_order, static_bn)
+            if not isinstance(self._type, HeterogeneousBNType):
+                raise ValueError(
+                    "Bayesian networks are not HeterogeneousBNType."
+                )
