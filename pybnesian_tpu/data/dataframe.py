@@ -64,6 +64,13 @@ def _column_from_object(name: str, data) -> Column:
 
     if isinstance(data, Column):
         return data.rename(name)
+    try:
+        import pyarrow as pa
+
+        if isinstance(data, (pa.Array, pa.ChunkedArray)):
+            data = data.to_pandas()
+    except ImportError:
+        pass
     if isinstance(data, pd.Series):
         if isinstance(data.dtype, pd.CategoricalDtype):
             codes = np.asarray(data.cat.codes, dtype=np.int32)
@@ -409,6 +416,56 @@ class DataFrame:
         out = jnp.asarray(mat.astype(np.int32))
         self._dev_cache[key] = out
         return out
+
+    # ------------------------------------------------------------------ arrow
+    @property
+    def schema(self):
+        """pyarrow Schema of the table (reference exposes the RecordBatch
+        schema directly, dataset/dataset.hpp:1953)."""
+        from .arrow_interop import column_pa_type, pa
+
+        return pa.schema(
+            [pa.field(n, column_pa_type(self._columns[n])) for n in self._names]
+        )
+
+    def column(self, i):
+        """i-th column as a pyarrow Array (RecordBatch.column parity)."""
+        if isinstance(i, str):
+            name = i
+        else:
+            name = self._names[i]
+        from .arrow_interop import column_to_pa
+
+        return column_to_pa(self._columns[name])
+
+    @property
+    def columns(self):
+        return [self.column(i) for i in range(len(self._names))]
+
+    def record_batch(self):
+        """Whole table as a pyarrow RecordBatch."""
+        from .arrow_interop import pa
+
+        return pa.RecordBatch.from_arrays(self.columns, schema=self.schema)
+
+    def equals(self, other) -> bool:
+        """Structural equality: same names, types, categories and values, with
+        nulls comparing equal (Arrow RecordBatch.equals semantics)."""
+        other = DataFrame.wrap(other)
+        if self._names != other._names or self._num_rows != other._num_rows:
+            return False
+        for n in self._names:
+            a, b = self._columns[n], other._columns[n]
+            if a.is_discrete != b.is_discrete:
+                return False
+            if a.is_discrete:
+                if a.categories != b.categories or not np.array_equal(a.values, b.values):
+                    return False
+            elif a.values.dtype != b.values.dtype or not np.array_equal(
+                a.values, b.values, equal_nan=np.issubdtype(a.values.dtype, np.floating)
+            ):
+                return False
+        return True
 
     # ------------------------------------------------------------------ misc
     def __repr__(self) -> str:

@@ -58,7 +58,8 @@ class CKDE(Factor):
         return self._fitted
 
     def data_type(self):
-        self._check_fitted()
+        if not self._fitted:
+            raise ValueError("CKDE factor not fitted.")
         return self._joint.data_type()
 
     def kde_joint(self) -> KDE:
@@ -94,7 +95,7 @@ class CKDE(Factor):
             self._marg = KDE(list(self._evidence), self._bselector)
             self._marg._dtype = self._joint._dtype
             self._marg.fit_with_bandwidth(
-                self._joint.dataset()[:, 1:], self._joint.bandwidth[1:, 1:]
+                self._joint._training[:, 1:], self._joint.bandwidth[1:, 1:]
             )
         else:
             self._marg = None
@@ -110,13 +111,12 @@ class CKDE(Factor):
         import jax.numpy as jnp
 
         variables = [self._variable, *self._evidence]
+        self._joint._check_test_dtype(df)
         mat = df.to_numpy(variables, drop_null=False, dtype=np.float64)
         valid = df.combined_mask(*variables)
-        dtype = self._joint._dtype
-        joint_test = self._joint._whiten(np.nan_to_num(mat, nan=0.0)).astype(dtype)
-        marg_test = self._marg._whiten(
-            np.nan_to_num(mat[:, 1:], nan=0.0)
-        ).astype(dtype)
+        dtype = np.float64
+        joint_test = self._joint._whiten(np.nan_to_num(mat, nan=0.0))
+        marg_test = self._marg._whiten(np.nan_to_num(mat[:, 1:], nan=0.0))
         m = len(mat)
         m_pad = _next_pow2(m, _CHUNK)
         if m_pad != m:
@@ -161,8 +161,8 @@ class CKDE(Factor):
         from ..ops.kde import kde_logl_pair
         import jax.numpy as jnp
 
-        dtype = self._joint._dtype
-        test = self._marg._whiten(evidence_mat).astype(dtype)
+        dtype = np.float64
+        test = self._marg._whiten(evidence_mat)
         m = len(test)
         m_pad = _next_pow2(m, _CHUNK)
         if m_pad != m:
@@ -182,11 +182,11 @@ class CKDE(Factor):
     def sample(self, n: int, evidence_values=None, seed: int | None = None):
         self._check_fitted()
         rng = np.random.default_rng(seed)
-        train = self._joint.dataset()
+        train = self._joint._training
         if not self._evidence:
             idx = rng.integers(0, len(train), n)
             h = math.sqrt(self._joint.bandwidth[0, 0])
-            return train[idx, 0] + rng.normal(0.0, h, n)
+            return self._as_pa(train[idx, 0] + rng.normal(0.0, h, n))
         ev = DataFrame.wrap(evidence_values)
         mat = ev.to_numpy(self._evidence, drop_null=False, dtype=np.float64)
         if len(mat) != n:
@@ -198,7 +198,14 @@ class CKDE(Factor):
         idx = np.argmax(logits + g, axis=1)
         reg, cond_var = self._conditional_coefs()
         mean = train[idx, 0] + (mat - train[idx, 1:]) @ reg
-        return mean + rng.normal(0.0, math.sqrt(cond_var), n)
+        return self._as_pa(mean + rng.normal(0.0, math.sqrt(cond_var), n))
+
+    def _as_pa(self, values: np.ndarray):
+        """Samples are Arrow arrays in the training dtype (reference
+        CKDE.hpp:289-384 returns arrow arrays)."""
+        from ..data.arrow_interop import pa
+
+        return pa.array(values.astype(self._joint._dtype))
 
     # ------------------------------------------------------------------ cdf
     def cdf(self, df) -> np.ndarray:
@@ -210,7 +217,7 @@ class CKDE(Factor):
         variables = [self._variable, *self._evidence]
         mat = df.to_numpy(variables, drop_null=False, dtype=np.float64)
         valid = df.combined_mask(*variables)
-        train = self._joint.dataset()
+        train = self._joint._training
         x = mat[:, 0]
         if self._evidence:
             emat = np.nan_to_num(mat[:, 1:], nan=0.0)

@@ -101,7 +101,13 @@ class DiscreteFactor(Factor):
         return self._fitted
 
     def data_type(self):
-        return "categorical"
+        """Dictionary type with the smallest index width for the fitted
+        cardinality (reference DiscreteFactor.hpp:77-88)."""
+        if not self._fitted:
+            raise ValueError("DiscreteFactor factor not fitted.")
+        from ..data.arrow_interop import dictionary_type
+
+        return dictionary_type(int(self._cardinality[0]))
 
     def logprob(self) -> np.ndarray:
         return self._logprob
@@ -189,7 +195,13 @@ class DiscreteFactor(Factor):
         cdf = np.cumsum(p, axis=1)
         u = rng.random(n)[:, None]
         draws = (u > cdf).sum(axis=1).astype(np.int32)
-        return np.minimum(draws, k - 1)
+        draws = np.minimum(draws, k - 1)
+        from ..data.arrow_interop import column_to_pa
+        from ..data.dataframe import Column
+
+        return column_to_pa(
+            Column(self._variable, draws, self._categories[self._variable])
+        )
 
     def _check_domain_evidence(self, df: DataFrame):
         for v in self._evidence:

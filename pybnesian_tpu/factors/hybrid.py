@@ -95,7 +95,9 @@ class DiscreteAdaptator(Factor):
         for f in self._factors:
             if f is not None:
                 return f.data_type()
-        return np.dtype(np.float64)
+        from ..data.arrow_interop import pa
+
+        return pa.float64()
 
     def _check_fitted(self):
         if not self._fitted:
@@ -210,7 +212,9 @@ class DiscreteAdaptator(Factor):
         self._check_fitted()
         if not self._discrete_evidence:
             if self._factors[0] is None:
-                return np.full(n, np.nan)
+                from ..data.arrow_interop import pa
+
+                return pa.array(np.full(n, np.nan))
             ev = None
             if self._continuous_evidence:
                 ev = evidence_values
@@ -233,7 +237,9 @@ class DiscreteAdaptator(Factor):
             out[rows] = np.asarray(
                 f.sample(len(rows), sub_ev, seed=None if seed is None else seed + c)
             )
-        return out
+        from ..data.arrow_interop import pa
+
+        return pa.array(out)
 
     # ---------------------------------------------------------------- string
     def ToString(self) -> str:

@@ -92,7 +92,10 @@ class LinearGaussianCPD(Factor):
         self._variance = float(value)
 
     def data_type(self):
-        return np.dtype(np.float64)
+        """Always float64 (reference LinearGaussianCPD params are double)."""
+        from ..data.arrow_interop import pa
+
+        return pa.float64()
 
     # ------------------------------------------------------------------ fit
     def fit(self, df) -> None:
@@ -161,7 +164,9 @@ class LinearGaussianCPD(Factor):
             if len(mat) != n:
                 raise ValueError("evidence_values rows != n")
             mean = mean + mat @ self._beta[1:]
-        return mean + rng.normal(0.0, math.sqrt(self._variance), n)
+        from ..data.arrow_interop import pa
+
+        return pa.array(mean + rng.normal(0.0, math.sqrt(self._variance), n))
 
     # ---------------------------------------------------------------- string
     def ToString(self) -> str:

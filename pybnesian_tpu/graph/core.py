@@ -129,7 +129,9 @@ class _GraphBase:
         try:
             return self._indices[name]
         except KeyError:
-            raise KeyError(f"Node '{name}' not present in the graph") from None
+            raise NodeLookupError(
+                f"Node '{name}' not present in the graph"
+            ) from None
 
     def check_index(self, node) -> int:
         if isinstance(node, str):
@@ -621,8 +623,8 @@ class Dag(DirectedGraph):
         t = self.check_index(target)
         if not self.can_add_arc(s, t):
             raise ValueError(
-                f"Arc {self.name(s)} -> {self.name(t)} would break the DAG "
-                "or is not allowed."
+                f"Arc {self.name(s)} -> {self.name(t)} is not valid: "
+                "the graph must be a DAG."
             )
         self._add_arc_unsafe(s, t)
 

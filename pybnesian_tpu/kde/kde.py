@@ -63,15 +63,37 @@ class KDE:
         return self._fitted
 
     def data_type(self):
-        return np.dtype(self._dtype)
+        """pyarrow DataType of the training data (reference KDE.hpp:292;
+        raises when unfitted, matching kde/KDE.cpp)."""
+        self._check_fitted_msg("KDE factor not fitted.")
+        from ..data.arrow_interop import np_to_pa_type
+
+        return np_to_pa_type(self._dtype)
 
     def num_instances(self) -> int:
         self._check_fitted()
         return len(self._training)
 
-    def dataset(self) -> np.ndarray:
+    def dataset(self) -> DataFrame:
+        """Training data as a DataFrame (reference KDE.hpp:642-666 reads the
+        device buffer back; here the host copy is authoritative)."""
         self._check_fitted()
-        return self._training
+        from .. import data as _data
+
+        return DataFrame(
+            [
+                _data.Column(v, self._training[:, i].astype(self._dtype))
+                for i, v in enumerate(self._variables)
+            ]
+        )
+
+    def _check_test_dtype(self, df: DataFrame) -> None:
+        """Reference raises when fit/test dtypes differ (dataset.hpp:878-905
+        via CKDE.cpp: 'Data type of training and test datasets is
+        different.')."""
+        dt = df.same_type(*self._variables)
+        if dt == "categorical" or np.dtype(dt) != np.dtype(self._dtype):
+            raise ValueError("Data type of training and test datasets is different.")
 
     @property
     def bandwidth(self) -> np.ndarray:
@@ -135,6 +157,10 @@ class KDE:
         if not self._fitted:
             raise ValueError(f"KDE({self._variables}) not fitted.")
 
+    def _check_fitted_msg(self, msg: str):
+        if not self._fitted:
+            raise ValueError(msg)
+
     # ------------------------------------------------------------ whitening
     def _whiten(self, mat: np.ndarray) -> np.ndarray:
         from scipy.linalg import solve_triangular
@@ -142,11 +168,17 @@ class KDE:
         return solve_triangular(self._chol, mat.T, lower=True).T
 
     def whitened_training(self):
-        """Device array of whitened training points (cached)."""
+        """Device array of whitened training points (cached).
+
+        Kept in float64 so the factor-API logl is invariant to variable
+        permutations even for float32 training data (the reference's f32
+        results are order-sensitive only below np.isclose tolerances; the
+        batched score kernels in ops/ keep the data dtype for speed).
+        """
         import jax.numpy as jnp
 
         if self._train_white is None:
-            w = self._whiten(self._training).astype(self._dtype)
+            w = self._whiten(self._training)
             self._train_white = jnp.asarray(w)
         return self._train_white
 
@@ -156,14 +188,15 @@ class KDE:
         from ..ops.kde import kde_logl_whitened
 
         df = DataFrame.wrap(df)
+        self._check_test_dtype(df)
         mat = df.to_numpy(self._variables, drop_null=False, dtype=np.float64)
         valid = df.combined_mask(*self._variables)
-        test_white = self._whiten(np.nan_to_num(mat, nan=0.0)).astype(self._dtype)
+        test_white = self._whiten(np.nan_to_num(mat, nan=0.0))
         m = len(test_white)
         m_pad = _next_pow2(m, _CHUNK)
         if m_pad != m:
             test_white = np.vstack(
-                [test_white, np.zeros((m_pad - m, test_white.shape[1]), self._dtype)]
+                [test_white, np.zeros((m_pad - m, test_white.shape[1]), np.float64)]
             )
         import jax.numpy as jnp
 
@@ -171,7 +204,7 @@ class KDE:
             kde_logl_whitened(
                 self.whitened_training(),
                 jnp.asarray(test_white),
-                np.asarray(self._lognorm, dtype=self._dtype),
+                np.asarray(self._lognorm, dtype=np.float64),
                 chunk=_CHUNK,
             ),
             dtype=np.float64,
@@ -245,12 +278,16 @@ class ProductKDE:
         return self._fitted
 
     def data_type(self):
-        return np.dtype(self._dtype)
+        if not self._fitted:
+            raise ValueError("ProductKDE factor not fitted.")
+        from ..data.arrow_interop import np_to_pa_type
+
+        return np_to_pa_type(self._dtype)
 
     def num_instances(self) -> int:
         return self._kde.num_instances()
 
-    def dataset(self) -> np.ndarray:
+    def dataset(self) -> DataFrame:
         return self._kde.dataset()
 
     @property

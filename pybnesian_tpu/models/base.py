@@ -492,6 +492,12 @@ class BayesianNetworkBase:
 
     @staticmethod
     def _postprocess_sample(cpd, values):
+        import pyarrow as pa
+
+        if isinstance(values, (pa.Array, pa.ChunkedArray)):
+            if pa.types.is_dictionary(values.type):
+                return values.to_pandas()
+            return values.to_numpy(zero_copy_only=False)
         from ..factors.discrete import DiscreteFactor
 
         if isinstance(cpd, DiscreteFactor):
