@@ -64,13 +64,13 @@ def _column_from_object(name: str, data) -> Column:
 
     if isinstance(data, Column):
         return data.rename(name)
-    try:
-        import pyarrow as pa
+    # pyarrow is a hard dependency (same as the reference, which is built on
+    # Arrow end-to-end): arrow_interop.py and the factor sample() paths import
+    # it unconditionally.
+    import pyarrow as pa
 
-        if isinstance(data, (pa.Array, pa.ChunkedArray)):
-            data = data.to_pandas()
-    except ImportError:
-        pass
+    if isinstance(data, (pa.Array, pa.ChunkedArray)):
+        data = data.to_pandas()
     if isinstance(data, pd.Series):
         if isinstance(data.dtype, pd.CategoricalDtype):
             codes = np.asarray(data.cat.codes, dtype=np.int32)

@@ -1,5 +1,6 @@
 from .core import (
     ConditionalDag,
+    NodeLookupError,
     ConditionalDirectedGraph,
     ConditionalPartiallyDirectedGraph,
     ConditionalUndirectedGraph,
@@ -10,6 +11,7 @@ from .core import (
 )
 
 __all__ = [
+    "NodeLookupError",
     "DirectedGraph",
     "UndirectedGraph",
     "PartiallyDirectedGraph",

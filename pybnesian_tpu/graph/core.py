@@ -27,6 +27,7 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = [
+    "NodeLookupError",
     "DirectedGraph",
     "UndirectedGraph",
     "PartiallyDirectedGraph",
@@ -36,6 +37,15 @@ __all__ = [
     "ConditionalPartiallyDirectedGraph",
     "ConditionalDag",
 ]
+
+
+class NodeLookupError(ValueError, KeyError):
+    """Lookup of a node name that is not present in the graph.
+
+    The reference raises ``std::invalid_argument`` (mapped to ``ValueError``)
+    from generic_graph.hpp index lookups; subclassing ``KeyError`` too keeps
+    dict-style ``except KeyError`` callers working.
+    """
 
 
 class _Node:

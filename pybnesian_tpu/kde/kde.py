@@ -170,10 +170,11 @@ class KDE:
     def whitened_training(self):
         """Device array of whitened training points (cached).
 
-        Kept in float64 so the factor-API logl is invariant to variable
-        permutations even for float32 training data (the reference's f32
-        results are order-sensitive only below np.isclose tolerances; the
-        batched score kernels in ops/ keep the data dtype for speed).
+        Whitening happens on host in float64; the device copy keeps f64 only
+        when ``jax_enable_x64`` is on (tests/CPU), otherwise it is downcast to
+        f32 on transfer, so the permutation-invariance of the factor-API logl
+        is exact under x64 and holds to f32 tolerances on TPU. The batched
+        score kernels in ops/ keep the data dtype for speed either way.
         """
         import jax.numpy as jnp
 

@@ -84,7 +84,7 @@ def test_sample_marginal_distribution():
     df = discrete_data(5000)
     f = DiscreteFactor("A")
     f.fit(df)
-    codes = f.sample(100000, seed=0)
+    codes = f.sample(100000, seed=0).indices.to_numpy()
     freq = np.bincount(codes, minlength=2) / 100000
     expected = np.exp(f.logprob())
     np.testing.assert_allclose(freq, expected, atol=0.01)
@@ -99,7 +99,7 @@ def test_sample_conditional():
     ev = pd.DataFrame(
         {"A": pd.Categorical([catsA[0]] * 50000, categories=list(catsA))}
     )
-    codes = f.sample(50000, ev, seed=1)
+    codes = f.sample(50000, ev, seed=1).indices.to_numpy()
     freq = np.bincount(codes, minlength=2) / 50000
     expected = np.exp(f.logprob().reshape(2, 2)[0])
     np.testing.assert_allclose(freq, expected, atol=0.01)

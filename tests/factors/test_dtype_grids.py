@@ -2,6 +2,7 @@
 (CKDE_test.py:16-19 runs {f64, f32} × {clean, with-NaN})."""
 
 import numpy as np
+import pyarrow as pa
 import pytest
 from scipy.stats import norm
 
@@ -38,7 +39,7 @@ def test_ckde_grid(dtype, nulls):
         test = with_nulls(test, frac=0.15)
     ckde = CKDE("b", ["a"])
     ckde.fit(df)
-    assert ckde.data_type() == np.dtype(dtype)
+    assert ckde.data_type() == pa.from_numpy_dtype(np.dtype(dtype))
     ll = ckde.logl(test)
     mask = (test["a"].isna() | test["b"].isna()).to_numpy()
     assert np.isnan(ll[mask]).all()

@@ -108,7 +108,7 @@ def test_hybrid_sampling():
     f = CLinearGaussianCPD("Y", ["X", "B"])
     f.fit(df)
     ev = df[["X", "B"]].head(2000)
-    s = f.sample(2000, ev, seed=0)
+    s = np.asarray(f.sample(2000, ev, seed=0))
     assert np.isfinite(s).all()
     # conditional mean tracks the per-category regression
     b1 = (ev["B"] == "b1").to_numpy()

@@ -106,7 +106,7 @@ def test_cdf():
 def test_sample_moments():
     cpd = LinearGaussianCPD("y", ["x"], [1.0, 2.0], 0.25)
     ev = pd.DataFrame({"x": np.full(200000, 3.0)})
-    s = cpd.sample(200000, ev, seed=0)
+    s = np.asarray(cpd.sample(200000, ev, seed=0))
     assert abs(s.mean() - 7.0) < 0.01
     assert abs(s.std() - 0.5) < 0.01
 
