@@ -272,7 +272,9 @@ class _KFoldEngine:
                 col_mask = np.zeros((Fb, djmax), dtype)
                 for f, i in enumerate(idxs):
                     v, ps, _ = fams[i]
-                    cols = [v, *ps]
+                    # evidence first, variable last (kernel layout: joint and
+                    # marginal share the Cholesky leading block)
+                    cols = [*ps, v]
                     for j, c in enumerate(cols):
                         col_idx[f, j] = pos[c]
                         col_mask[f, j] = 1.0
@@ -461,6 +463,10 @@ class HoldoutLikelihood(Score):
         self.args = construction_args or Arguments()
         self._train = self.holdout.training_data()
         self._test = self.holdout.test_data()
+        # fused device path: the holdout split is one (train, test) "fold"
+        self._engine = _KFoldEngine(
+            self.df, [(self.holdout._train_idx, self.holdout._test_idx)]
+        )
 
     def data(self):
         return self._train
@@ -528,8 +534,29 @@ class HoldoutLikelihood(Score):
                 jnp.asarray(parent_mask),
             )
             out[np.array(lg_idx)] = np.asarray(scores, dtype=np.float64)[:F]
+        from ...factors.ckde import CKDEType
+
+        ckde_idx = [
+            i
+            for i, (v, ps, nt) in enumerate(norm)
+            if nt == CKDEType()
+            and not self._train.is_discrete(v)
+            and not any(self._train.is_discrete(p) for p in ps)
+        ]
+        if ckde_idx:
+            fams = [
+                (
+                    norm[i][0],
+                    norm[i][1],
+                    _ckde_selector(norm[i][2], model, norm[i][0], norm[i][1],
+                                   self.args),
+                )
+                for i in ckde_idx
+            ]
+            out[np.array(ckde_idx)] = self._engine.ckde_scores_batch(fams)
+        handled = set(lg_idx) | set(ckde_idx)
         for i, (v, ps, nt) in enumerate(norm):
-            if i in set(lg_idx):
+            if i in handled:
                 continue
             out[i] = self.local_score_node_type(model, nt, v, ps)
         return out

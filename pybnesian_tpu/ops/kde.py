@@ -166,9 +166,18 @@ def ckde_cv_alldevice(data, null_mask, col_idx, col_mask, tr_idx, tr_mask,
     uploads the data matrix once per score instance and per-batch family
     column indices — the end-state of the SURVEY §7 "upload once" design.
 
+    Family columns are laid out EVIDENCE FIRST with the variable at position
+    ``d_eff - 1``. Because the Cholesky factor of the joint bandwidth is
+    lower-triangular, its leading (evidence × evidence) block *is* the
+    marginal's Cholesky factor (the same sharing the reference exploits with
+    sub-range device buffers, CKDE.hpp:182-200). Hence one Cholesky, one
+    whitening and ONE pairwise-distance matmul serve both log-densities:
+    ``marg_d2 = joint_d2 − Δz_var²`` where ``z_var`` is the whitened variable
+    coordinate — halving the pre-exp work and HBM traffic of the kernel.
+
     data: (n, D) values (nulls zeroed); null_mask: (n, D) 1.0 where null;
-    col_idx/col_mask: (F, djmax) family columns, variable first;
-    tr_idx/tr_mask: (K, ntr) fold train rows (shared across families);
+    col_idx/col_mask: (F, djmax) family columns, evidence first / variable
+    last; tr_idx/tr_mask: (K, ntr) fold train rows (shared across families);
     te_idx/te_mask: (K, nte). Returns (F,) summed CV test logl; NaN marks
     degenerate families (caller maps to -inf).
     """
@@ -180,6 +189,10 @@ def ckde_cv_alldevice(data, null_mask, col_idx, col_mask, tr_idx, tr_mask,
         fam_null = jnp.max(null_mask[:, cidx] * cmask[None, :], axis=1)
         fvalid = 1.0 - fam_null
         d_eff = jnp.sum(cmask)
+        # one-hot of the variable position (= last valid column)
+        dim_ids = jnp.arange(djmax, dtype=cmask.dtype)
+        vsel = jnp.where(dim_ids == d_eff - 1.0, 1.0, 0.0) * cmask
+        mmask = cmask - vsel
 
         def fold(tri, trm, tei, tem):
             w = trm * fvalid[tri]
@@ -197,50 +210,44 @@ def ckde_cv_alldevice(data, null_mask, col_idx, col_mask, tr_idx, tr_mask,
             H = k * cov + jnp.diag(1.0 - cmask)
             L = jnp.linalg.cholesky(H)
             Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+            logdiag = jnp.log(jnp.abs(jnp.diag(L)))
             jln = (
-                -jnp.sum(jnp.log(jnp.abs(jnp.diag(L))) * cmask)
+                -jnp.sum(logdiag * cmask)
                 - 0.5 * d_eff * LOG_2PI
                 - jnp.log(n_eff)
             )
-            # marginal: evidence block (drop variable = column 0)
-            mmask = cmask.at[0].set(0.0)
-            Hm = H * mmask[:, None] * mmask[None, :] + jnp.diag(1.0 - mmask)
-            Lm = jnp.linalg.cholesky(Hm)
-            Lminv = jax.scipy.linalg.solve_triangular(Lm, eye, lower=True)
+            # marginal lognorm: diag(chol(H_marg)) = leading diag of L
             mln = (
-                -jnp.sum(jnp.log(jnp.abs(jnp.diag(Lm))) * mmask)
+                -jnp.sum(logdiag * mmask)
                 - 0.5 * (d_eff - 1.0) * LOG_2PI
                 - jnp.log(n_eff)
             )
             jtr = train @ Linv.T
-            mtr = (train * mmask[None, :]) @ Lminv.T
             test = fam[tei]
             wte = tem * fvalid[tei]
             jte = test @ Linv.T
-            mte = (test * mmask[None, :]) @ Lminv.T
+            # whitened variable coordinate (marg_d2 = joint_d2 − Δz_var²)
+            zv_tr = jtr @ vsel
+            zv_te = jte @ vsel
             neg = jnp.where(w > 0, 0.0, -jnp.inf)
             jn = jnp.sum(jnp.square(jtr), axis=1)
-            mn = jnp.sum(jnp.square(mtr), axis=1)
 
             def body(args):
-                jc, mc = args
+                jc, zc = args
                 jd2 = (
                     jnp.sum(jnp.square(jc), axis=1)[:, None]
                     - 2.0 * _dot(jc, jtr.T)
                     + jn[None, :]
                 )
                 lj = jax.nn.logsumexp(-0.5 * jd2 + neg[None, :], axis=1)
-                md2 = (
-                    jnp.sum(jnp.square(mc), axis=1)[:, None]
-                    - 2.0 * _dot(mc, mtr.T)
-                    + mn[None, :]
-                )
+                vdiff = zc[:, None] - zv_tr[None, :]
+                md2 = jd2 - vdiff * vdiff
                 lm = jax.nn.logsumexp(-0.5 * md2 + neg[None, :], axis=1)
                 return lj - lm
 
             jchunks = jte.reshape(-1, chunk, djmax)
-            mchunks = mte.reshape(-1, chunk, djmax)
-            out = jax.lax.map(body, (jchunks, mchunks)).reshape(-1)
+            zchunks = zv_te.reshape(-1, chunk)
+            out = jax.lax.map(body, (jchunks, zchunks)).reshape(-1)
             fold_ll = jnp.sum((out + (jln - mln)) * wte)
             # degenerate folds (n_eff too small / singular chol) -> NaN
             return jnp.where(n_eff > d_eff, fold_ll, jnp.nan)

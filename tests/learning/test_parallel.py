@@ -78,7 +78,8 @@ def test_sharded_ckde_cv_matches_serial():
     col_mask = np.zeros((F, 2), dtype)
     col_mask[:, 0] = 1.0
     for f, (v, ps) in enumerate(fams):
-        for j, c in enumerate([v, *ps]):
+        # kernel layout: evidence first, variable last
+        for j, c in enumerate([*ps, v]):
             col_idx[f, j] = pos[c]
             col_mask[f, j] = 1.0
     mesh = make_mesh({"data": 2, "fam": 4})
