@@ -1,6 +1,6 @@
 """Graph reachability backends: native C++ bitset core with numpy fallback.
 
-The C++ library (native/graphcore.cpp) is compiled on first use with the
+The C++ library (pybnesian_tpu/_native/graphcore.cpp) is compiled on first use with the
 system toolchain and loaded through ctypes (no pybind11 dependency, per the
 build constraints). All entry points accept a dense bool adjacency matrix
 over collapsed node indices.
@@ -28,9 +28,8 @@ def _build_and_load():
         return _LIB
     _TRIED = True
     pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    repo_dir = os.path.dirname(pkg_dir)
-    src = os.path.join(repo_dir, "native", "graphcore.cpp")
-    lib_path = os.path.join(repo_dir, "native", "libgraphcore.so")
+    src = os.path.join(pkg_dir, "_native", "graphcore.cpp")
+    lib_path = os.path.join(pkg_dir, "_native", "libgraphcore.so")
     try:
         if not os.path.exists(lib_path) or (
             os.path.getmtime(src) > os.path.getmtime(lib_path)

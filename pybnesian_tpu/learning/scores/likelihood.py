@@ -37,6 +37,37 @@ def _next_pow2(x: int, floor: int = 1) -> int:
     return n
 
 
+_FLASH_CV_BROKEN = False
+
+
+def _fused_cv_scores(data, null_mask, col_idx, col_mask, tr_idx, tr_mask,
+                     te_idx, te_mask, chunk, rule):
+    """Route a fused CV-CKDE batch to the Pallas flash kernel on TPU
+    (streaming double logsumexp, no pair matrix in HBM) with transparent
+    fallback to the XLA fused kernel elsewhere or on any Pallas failure."""
+    global _FLASH_CV_BROKEN
+    import jax
+
+    from ...ops.kde import ckde_cv_alldevice, ckde_cv_alldevice_flash
+
+    if (
+        not _FLASH_CV_BROKEN
+        and jax.default_backend() == "tpu"
+        and np.asarray(data).dtype == np.float32
+    ):
+        try:
+            return ckde_cv_alldevice_flash(
+                data, null_mask, col_idx, col_mask, tr_idx, tr_mask,
+                te_idx, te_mask, rule=rule,
+            )
+        except Exception:  # pragma: no cover - device/toolchain specific
+            _FLASH_CV_BROKEN = True
+    return ckde_cv_alldevice(
+        data, null_mask, col_idx, col_mask, tr_idx, tr_mask, te_idx,
+        te_mask, chunk=chunk, rule=rule,
+    )
+
+
 def _ckde_selector(node_type, model, variable, parents, args):
     """Instantiate the factor once to honour Arguments-configured bandwidth
     selectors (factors/arguments.hpp routing)."""
@@ -241,7 +272,6 @@ class _KFoldEngine:
         import jax.numpy as jnp
 
         from ...kde.bandwidth import NormalReferenceRule, ScottsBandwidth
-        from ...ops.kde import ckde_cv_alldevice
 
         chunk = 256
         out = np.empty(len(fams))
@@ -279,7 +309,7 @@ class _KFoldEngine:
                         col_idx[f, j] = pos[c]
                         col_mask[f, j] = 1.0
                 col_mask[F:, 0] = 1.0  # padded families: 1-D dummy
-                scores = ckde_cv_alldevice(
+                scores = _fused_cv_scores(
                     data, null_mask,
                     jnp.asarray(col_idx), jnp.asarray(col_mask),
                     tr_idx, tr_mask, te_idx, te_mask,

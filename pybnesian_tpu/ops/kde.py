@@ -257,6 +257,104 @@ def ckde_cv_alldevice(data, null_mask, col_idx, col_mask, tr_idx, tr_mask,
     return jax.vmap(family)(col_idx, col_mask)
 
 
+@partial(jax.jit, static_argnames=("rule",))
+def ckde_cv_whitened_parts(data, null_mask, col_idx, col_mask, tr_idx,
+                           tr_mask, te_idx, te_mask, rule="nr"):
+    """Stage 1 of the flash CV-CKDE path: per (family, fold) gather, rule
+    bandwidth, Cholesky and whitening — everything *before* the pairwise
+    part. Same family-column convention as :func:`ckde_cv_alldevice`
+    (evidence first, variable last). Returns
+    ``(jtr, neg, zv_tr, jte, zv_te, wte, lndiff, ok)`` with leading (F, K)
+    axes; the pairwise logl can then run in a Pallas kernel that never
+    materializes the (nte × ntr) matrix in HBM."""
+    djmax = col_idx.shape[1]
+    eye = jnp.eye(djmax, dtype=data.dtype)
+
+    def family(cidx, cmask):
+        fam = data[:, cidx] * cmask[None, :]
+        fam_null = jnp.max(null_mask[:, cidx] * cmask[None, :], axis=1)
+        fvalid = 1.0 - fam_null
+        d_eff = jnp.sum(cmask)
+        dim_ids = jnp.arange(djmax, dtype=cmask.dtype)
+        vsel = jnp.where(dim_ids == d_eff - 1.0, 1.0, 0.0) * cmask
+        mmask = cmask - vsel
+
+        def fold(tri, trm, tei, tem):
+            w = trm * fvalid[tri]
+            train = fam[tri]
+            n_eff = jnp.sum(w)
+            mean = jnp.sum(train * w[:, None], axis=0) / n_eff
+            xc = (train - mean[None, :]) * (w[:, None] * cmask[None, :])
+            cov = jnp.einsum(
+                "ni,nj->ij", xc, xc, preferred_element_type=data.dtype
+            ) / (n_eff - 1.0)
+            if rule == "nr":
+                k = (4.0 / (n_eff * (d_eff + 2.0))) ** (2.0 / (d_eff + 4.0))
+            else:  # scott
+                k = n_eff ** (-2.0 / (d_eff + 4.0))
+            H = k * cov + jnp.diag(1.0 - cmask)
+            L = jnp.linalg.cholesky(H)
+            Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+            logdiag = jnp.log(jnp.abs(jnp.diag(L)))
+            # lndiff = jln − mln = −log|L_vv| − ½ log 2π (n_eff terms cancel)
+            lndiff = -jnp.sum(logdiag * vsel) - 0.5 * LOG_2PI
+            jtr = train @ Linv.T
+            jte = fam[tei] @ Linv.T
+            zv_tr = jtr @ vsel
+            zv_te = jte @ vsel
+            neg = jnp.where(w > 0, 0.0, -jnp.inf)
+            wte = tem * fvalid[tei]
+            ok = (n_eff > d_eff).astype(data.dtype)
+            return jtr, neg, zv_tr, jte, zv_te, wte, lndiff, ok
+
+        return jax.vmap(fold)(tr_idx, tr_mask, te_idx, te_mask)
+
+    return jax.vmap(family)(col_idx, col_mask)
+
+
+def ckde_cv_alldevice_flash(data, null_mask, col_idx, col_mask, tr_idx,
+                            tr_mask, te_idx, te_mask, rule="nr",
+                            block_m: int = 256, block_n: int = 1024,
+                            interpret: bool = False):
+    """Flash variant of :func:`ckde_cv_alldevice`: whitening in XLA
+    (:func:`ckde_cv_whitened_parts`), then the pairwise double logsumexp in
+    a Pallas kernel that streams train blocks through VMEM — no (nte × ntr)
+    intermediate in HBM. Same arguments/semantics as
+    :func:`ckde_cv_alldevice`; requires float32 inputs."""
+    from .pallas_kde import pallas_ckde_cv_pairs
+    import jax.numpy as jnp
+
+    jtr, neg, zv_tr, jte, zv_te, wte, lndiff, ok = ckde_cv_whitened_parts(
+        data, null_mask, col_idx, col_mask, tr_idx, tr_mask, te_idx, te_mask,
+        rule=rule,
+    )
+    F, K, ntr, dpad = jtr.shape
+    nte = jte.shape[2]
+    pad_n = next_multiple(ntr, block_n) - ntr
+    if pad_n:
+        jtr = jnp.pad(jtr, ((0, 0), (0, 0), (0, pad_n), (0, 0)))
+        neg = jnp.pad(neg, ((0, 0), (0, 0), (0, pad_n)),
+                      constant_values=-jnp.inf)
+        zv_tr = jnp.pad(zv_tr, ((0, 0), (0, 0), (0, pad_n)))
+    out = pallas_ckde_cv_pairs(
+        jtr.reshape(F * K, -1, dpad).astype(jnp.float32),
+        neg.reshape(F * K, -1).astype(jnp.float32),
+        zv_tr.reshape(F * K, -1).astype(jnp.float32),
+        jte.reshape(F * K, nte, dpad).astype(jnp.float32),
+        zv_te.reshape(F * K, nte).astype(jnp.float32),
+        block_m=block_m, block_n=block_n, interpret=interpret,
+    ).reshape(F, K, nte)
+    return _flash_reduce(out, wte, lndiff, ok)
+
+
+@jax.jit
+def _flash_reduce(out, wte, lndiff, ok):
+    out = jnp.where(wte > 0, out, 0.0)
+    fold_ll = jnp.sum(out * wte, axis=2) + lndiff * jnp.sum(wte, axis=2)
+    fold_ll = jnp.where(ok > 0, fold_ll, jnp.nan)
+    return jnp.sum(fold_ll, axis=1)
+
+
 @partial(jax.jit, static_argnames=("chunk",))
 def batched_ckde_cv_slogl(joint_tr, joint_te, marg_tr, marg_te, tr_mask,
                           te_mask, joint_ln, marg_ln, chunk=256):

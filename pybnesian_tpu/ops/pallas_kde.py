@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 LOG_2PI = math.log(2.0 * math.pi)
 
-__all__ = ["pallas_kde_logl", "pallas_available"]
+__all__ = ["pallas_kde_logl", "pallas_ckde_cv_pairs", "pallas_available"]
 
 
 def pallas_available() -> bool:
@@ -72,6 +72,87 @@ try:
 except ImportError:  # pragma: no cover
     pl = None
     pltpu = None
+
+
+def _ckde_cv_kernel(jtr_ref, neg_ref, zvtr_ref, jte_ref, zvte_ref, out_ref,
+                    *, block_n: int, dpad: int):
+    """One grid step: all train blocks against one test block of one
+    (family, fold) pair, with BOTH the joint and the marginal online
+    logsumexp in a single pass — the (nte × ntr) pair matrix never leaves
+    VMEM. The marginal logits come from the joint's for 2 flops:
+    ``−½ marg_d2 = −½ joint_d2 + ½ Δz_var²`` (shared-Cholesky layout of
+    ops/kde.py ckde_cv_whitened_parts)."""
+    block_m = jte_ref.shape[1]
+    n_total = jtr_ref.shape[1]
+    n_blocks = n_total // block_n
+
+    test = jte_ref[0]          # (block_m, dpad)
+    zte = zvte_ref[0]          # (block_m,)
+
+    def body(nb, carry):
+        mj, sj, mm, sm = carry
+        tb = jtr_ref[0, pl.ds(nb * block_n, block_n), :]   # (block_n, dpad)
+        ng = neg_ref[0, pl.ds(nb * block_n, block_n)]      # (block_n,)
+        ztb = zvtr_ref[0, pl.ds(nb * block_n, block_n)]    # (block_n,)
+        d2 = jnp.zeros((block_m, block_n), jnp.float32)
+        for k in range(dpad):
+            diff = test[:, k][:, None] - tb[:, k][None, :]
+            d2 = d2 + diff * diff
+        lj = -0.5 * d2 + ng[None, :]
+        vd = zte[:, None] - ztb[None, :]
+        lm = lj + 0.5 * vd * vd
+
+        bmj = jnp.max(lj, axis=1, keepdims=True)
+        new_mj = jnp.maximum(mj, bmj)
+        sj = sj * jnp.exp(mj - new_mj) + jnp.sum(
+            jnp.exp(lj - new_mj), axis=1, keepdims=True
+        )
+        bmm = jnp.max(lm, axis=1, keepdims=True)
+        new_mm = jnp.maximum(mm, bmm)
+        sm = sm * jnp.exp(mm - new_mm) + jnp.sum(
+            jnp.exp(lm - new_mm), axis=1, keepdims=True
+        )
+        return new_mj, sj, new_mm, sm
+
+    # finite very-negative init: keeps all-padding blocks NaN-free
+    m0 = jnp.full((block_m, 1), -1e30, jnp.float32)
+    s0 = jnp.zeros((block_m, 1), jnp.float32)
+    mj, sj, mm, sm = jax.lax.fori_loop(0, n_blocks, body, (m0, s0, m0, s0))
+    out_ref[0] = ((mj + jnp.log(sj)) - (mm + jnp.log(sm)))[:, 0]
+
+
+@partial(jax.jit, static_argnames=("block_m", "block_n", "interpret"))
+def pallas_ckde_cv_pairs(jtr, neg, zv_tr, jte, zv_te,
+                         block_m: int = 256, block_n: int = 1024,
+                         interpret: bool = False):
+    """(G, nte) per-test-point ``logsumexp_joint − logsumexp_marg`` (without
+    lognorm constants) for G = F·K (family, fold) pairs. jtr: (G, ntr, dpad)
+    whitened train with ntr a multiple of ``block_n``; neg/zv_tr: (G, ntr);
+    jte: (G, nte, dpad) with nte a multiple of ``block_m``; zv_te: (G, nte).
+    All float32."""
+    G, ntr, dpad = jtr.shape
+    nte = jte.shape[1]
+    grid = (G, nte // block_m)
+    return pl.pallas_call(
+        partial(_ckde_cv_kernel, block_n=block_n, dpad=dpad),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, ntr, dpad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ntr), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ntr), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_m, dpad), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_m), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_m), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, nte), jnp.float32),
+        interpret=interpret,
+    )(jtr, neg, zv_tr, jte, zv_te)
 
 
 @partial(jax.jit, static_argnames=("block_m", "block_n", "interpret"))
