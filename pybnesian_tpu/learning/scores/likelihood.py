@@ -285,16 +285,23 @@ class _KFoldEngine:
             else:
                 fallback.append(i)
                 continue
-            dj = len(ps) + 1
-            djmax = _next_pow2(dj, 2)
-            device_groups.setdefault((djmax, rule), []).append(i)
+            # one group per RULE: families of every width share a launch
+            # (padding extra columns only widens the cheap MXU contraction;
+            # each synchronous device call costs a full dispatch round trip,
+            # ~25 ms through this environment's TPU tunnel)
+            device_groups.setdefault(rule, []).append(i)
 
         if device_groups:
             (pos, data, null_mask, tr_idx, tr_mask, te_idx, te_mask, dtype) = (
                 self._device_cv_cache(chunk)
             )
-            for (djmax, rule), idxs in device_groups.items():
+            # phase 1: dispatch every group's launch asynchronously
+            pending = []
+            for rule, idxs in device_groups.items():
                 F = len(idxs)
+                djmax = _next_pow2(
+                    max(len(fams[i][1]) + 1 for i in idxs), 2
+                )
                 # generous floor: fewer distinct compiled shapes matters more
                 # than wasted lanes (each shape costs an XLA compile)
                 Fb = _next_pow2(F, 16)
@@ -315,6 +322,9 @@ class _KFoldEngine:
                     tr_idx, tr_mask, te_idx, te_mask,
                     chunk=chunk, rule=rule,
                 )
+                pending.append((idxs, F, scores))
+            # phase 2: one blocking collect per group
+            for idxs, F, scores in pending:
                 vals = np.array(scores, np.float64)[:F].copy()
                 vals[~np.isfinite(vals)] = -math.inf
                 out[np.array(idxs)] = vals

@@ -312,6 +312,8 @@ def ckde_cv_whitened_parts(data, null_mask, col_idx, col_mask, tr_idx,
     return jax.vmap(family)(col_idx, col_mask)
 
 
+@partial(jax.jit,
+         static_argnames=("rule", "block_m", "block_n", "interpret"))
 def ckde_cv_alldevice_flash(data, null_mask, col_idx, col_mask, tr_idx,
                             tr_mask, te_idx, te_mask, rule="nr",
                             block_m: int = 256, block_n: int = 1024,

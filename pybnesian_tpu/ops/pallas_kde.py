@@ -81,23 +81,33 @@ def _ckde_cv_kernel(jtr_ref, neg_ref, zvtr_ref, jte_ref, zvte_ref, out_ref,
     logsumexp in a single pass — the (nte × ntr) pair matrix never leaves
     VMEM. The marginal logits come from the joint's for 2 flops:
     ``−½ marg_d2 = −½ joint_d2 + ½ Δz_var²`` (shared-Cholesky layout of
-    ops/kde.py ckde_cv_whitened_parts)."""
+    ops/kde.py ckde_cv_whitened_parts).
+
+    Train-side arrays arrive TRANSPOSED and AUGMENTED: jtr_ref is
+    (dpad+2, ntr) with rows ``[train_t; 1; ‖train‖²]`` and jte_ref is
+    (block_m, dpad+2) with columns ``[−2·test, ‖test‖², 1]``, so the whole
+    pairwise squared distance is ONE MXU matmul —
+    ``d2 = −2·te·tr + ‖te‖² + ‖tr‖²`` — leaving the VPU nothing but the two
+    exps and the online-max/sum updates. The large ntr axis sits in the TPU
+    lane dimension (an (ntr, dpad) layout would pad dpad≤8 columns to 128
+    lanes and blow the VMEM budget ~30×)."""
     block_m = jte_ref.shape[1]
-    n_total = jtr_ref.shape[1]
+    n_total = jtr_ref.shape[2]
     n_blocks = n_total // block_n
 
-    test = jte_ref[0]          # (block_m, dpad)
-    zte = zvte_ref[0]          # (block_m,)
+    test_aug = jte_ref[0]      # (block_m, dpad+2)
+    zte = zvte_ref[0, :, 0]    # (block_m,)
 
     def body(nb, carry):
         mj, sj, mm, sm = carry
-        tb = jtr_ref[0, pl.ds(nb * block_n, block_n), :]   # (block_n, dpad)
-        ng = neg_ref[0, pl.ds(nb * block_n, block_n)]      # (block_n,)
-        ztb = zvtr_ref[0, pl.ds(nb * block_n, block_n)]    # (block_n,)
-        d2 = jnp.zeros((block_m, block_n), jnp.float32)
-        for k in range(dpad):
-            diff = test[:, k][:, None] - tb[:, k][None, :]
-            d2 = d2 + diff * diff
+        tb = jtr_ref[0, :, pl.ds(nb * block_n, block_n)]    # (dpad+2, block_n)
+        ng = neg_ref[0, 0, pl.ds(nb * block_n, block_n)]    # (block_n,)
+        ztb = zvtr_ref[0, 0, pl.ds(nb * block_n, block_n)]  # (block_n,)
+        d2 = jax.lax.dot_general(
+            test_aug, tb, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
         lj = -0.5 * d2 + ng[None, :]
         vd = zte[:, None] - ztb[None, :]
         lm = lj + 0.5 * vd * vd
@@ -118,7 +128,7 @@ def _ckde_cv_kernel(jtr_ref, neg_ref, zvtr_ref, jte_ref, zvte_ref, out_ref,
     m0 = jnp.full((block_m, 1), -1e30, jnp.float32)
     s0 = jnp.zeros((block_m, 1), jnp.float32)
     mj, sj, mm, sm = jax.lax.fori_loop(0, n_blocks, body, (m0, s0, m0, s0))
-    out_ref[0] = ((mj + jnp.log(sj)) - (mm + jnp.log(sm)))[:, 0]
+    out_ref[0] = (mj + jnp.log(sj)) - (mm + jnp.log(sm))
 
 
 @partial(jax.jit, static_argnames=("block_m", "block_n", "interpret"))
@@ -129,30 +139,56 @@ def pallas_ckde_cv_pairs(jtr, neg, zv_tr, jte, zv_te,
     lognorm constants) for G = F·K (family, fold) pairs. jtr: (G, ntr, dpad)
     whitened train with ntr a multiple of ``block_n``; neg/zv_tr: (G, ntr);
     jte: (G, nte, dpad) with nte a multiple of ``block_m``; zv_te: (G, nte).
-    All float32."""
+    All float32. Train-side arrays are fed transposed (ntr in lanes) and
+    both sides augmented for the single-matmul distance; test vectors travel
+    as (G, nte, 1) — every block then satisfies the Mosaic last-two-dims
+    tiling rule without 128-lane padding waste."""
     G, ntr, dpad = jtr.shape
     nte = jte.shape[1]
     grid = (G, nte // block_m)
-    return pl.pallas_call(
+    # augmented operands: d2 = [-2·te, ‖te‖², 1] @ [tr; 1; ‖tr‖²]
+    jn_tr = jnp.sum(jnp.square(jtr), axis=2)              # (G, ntr)
+    taug = jnp.concatenate(
+        [
+            jnp.swapaxes(jtr, 1, 2),
+            jnp.ones((G, 1, ntr), jnp.float32),
+            jn_tr[:, None, :],
+        ],
+        axis=1,
+    )                                                      # (G, dpad+2, ntr)
+    jn_te = jnp.sum(jnp.square(jte), axis=2)               # (G, nte)
+    teaug = jnp.concatenate(
+        [-2.0 * jte, jn_te[..., None], jnp.ones((G, nte, 1), jnp.float32)],
+        axis=2,
+    )                                                      # (G, nte, dpad+2)
+    daug = dpad + 2
+    out = pl.pallas_call(
         partial(_ckde_cv_kernel, block_n=block_n, dpad=dpad),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, ntr, dpad), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, daug, ntr), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ntr), lambda i, j: (i, 0),
+            pl.BlockSpec((1, 1, ntr), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ntr), lambda i, j: (i, 0),
+            pl.BlockSpec((1, 1, ntr), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_m, dpad), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, block_m, daug), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_m), lambda i, j: (i, j),
+            pl.BlockSpec((1, block_m, 1), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_m), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((1, block_m, 1), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((G, nte), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((G, nte, 1), jnp.float32),
         interpret=interpret,
-    )(jtr, neg, zv_tr, jte, zv_te)
+    )(
+        taug,
+        neg[:, None, :],
+        zv_tr[:, None, :],
+        teaug,
+        zv_te[..., None],
+    )
+    return out[..., 0]
 
 
 @partial(jax.jit, static_argnames=("block_m", "block_n", "interpret"))
