@@ -115,6 +115,48 @@ def kde_conditional_logsumexp(
 
 
 @partial(jax.jit, static_argnames=("chunk",))
+def batched_ckde_logl(jtr, jte, mtr, mte, trm, jln, mln, chunk=256):
+    """Per-test-row conditional-KDE log-likelihood of F factors in ONE
+    device launch — the model-level ``logl`` path (reference
+    BNGeneric::logl:996 sums factor logls one at a time; batching removes
+    the per-node dispatch round trip). jtr: (F, ntr, djmax) whitened joint
+    train with padded rows masked by trm; jte: (F, nte, djmax); mtr/mte:
+    marginal counterparts ((F, *, dmmax), zeros for evidence-free factors —
+    with mln = −log n_valid the marginal term cancels); trm: (F, ntr);
+    jln/mln: (F,). Returns (F, nte)."""
+    dj = jtr.shape[2]
+    dm = mtr.shape[2]
+
+    def one(jt, jw, mt, mw, m, a, b):
+        jn = jnp.sum(jnp.square(jt), axis=1)
+        mn = jnp.sum(jnp.square(mt), axis=1)
+        neg = jnp.where(m > 0, 0.0, -jnp.inf)
+
+        def body(args):
+            jc, mc = args
+            jd2 = (
+                jnp.sum(jnp.square(jc), axis=1)[:, None]
+                - 2.0 * _dot(jc, jt.T)
+                + jn[None, :]
+            )
+            lj = jax.nn.logsumexp(-0.5 * jd2 + neg[None, :], axis=1)
+            md2 = (
+                jnp.sum(jnp.square(mc), axis=1)[:, None]
+                - 2.0 * _dot(mc, mt.T)
+                + mn[None, :]
+            )
+            lm = jax.nn.logsumexp(-0.5 * md2 + neg[None, :], axis=1)
+            return lj - lm
+
+        jchunks = jw.reshape(-1, chunk, dj)
+        mchunks = mw.reshape(-1, chunk, dm)
+        out = jax.lax.map(body, (jchunks, mchunks)).reshape(-1)
+        return out + (a - b)
+
+    return jax.vmap(one)(jtr, jte, mtr, mte, trm, jln, mln)
+
+
+@partial(jax.jit, static_argnames=("chunk",))
 def ckde_cv_slogl(joint_tr, joint_te, marg_tr, marg_te, tr_mask, te_mask,
                   joint_ln, marg_ln, chunk=256):
     """k-fold CV test log-likelihood of one CKDE family, folds batched.
