@@ -480,50 +480,46 @@ class BayesianNetworkBase:
         djmax = max(
             1 + len(self._cpds[n].evidence()) for n in nodes
         )
-        dmmax = max(djmax - 1, 1)
         jtr = np.zeros((F, ntr_pad, djmax))
         jte = np.zeros((F, m_pad, djmax))
-        mtr = np.zeros((F, ntr_pad, dmmax))
-        mte = np.zeros((F, m_pad, dmmax))
         trm = np.zeros((F, ntr_pad))
-        jln = np.zeros(F)
-        mln = np.zeros(F)
+        lndiff = np.zeros(F)
         valid_rows = {}
         for f, n in enumerate(nodes):
             cpd = self._cpds[n]
             joint = cpd.kde_joint()
-            cols = [n, *cpd.evidence()]
+            # evidence-first permutation: the joint Cholesky's leading block
+            # is the marginal's (reference CKDE.hpp:182-200 buffer sharing)
+            cols = [*cpd.evidence(), n]
             dj = len(cols)
             n_i = joint.num_instances()
+            perm = list(range(1, dj)) + [0]  # fitted layout is [var, *ev]
+            Hp = joint.bandwidth[np.ix_(perm, perm)]
+            Lp = np.linalg.cholesky(Hp)
             jtr[f, :n_i, :dj] = solve_triangular(
-                joint._chol, joint._training.T, lower=True
+                Lp, joint._training[:, perm].T, lower=True
             ).T
             trm[f, :n_i] = 1.0
-            jln[f] = joint._lognorm
+            lndiff[f] = -math.log(Lp[dj - 1, dj - 1]) - 0.5 * math.log(
+                2.0 * math.pi
+            )
             mat = df.to_numpy(cols, drop_null=False, dtype=np.float64)
             valid = df.combined_mask(*cols)
             valid_rows[n] = valid
             mat = np.nan_to_num(mat, nan=0.0)
-            jte[f, :m, :dj] = solve_triangular(
-                joint._chol, mat.T, lower=True
-            ).T
-            if dj > 1:
-                marg = cpd.kde_marg()
-                mtr[f, :n_i, : dj - 1] = solve_triangular(
-                    marg._chol, marg._training.T, lower=True
-                ).T
-                mte[f, :m, : dj - 1] = solve_triangular(
-                    marg._chol, mat[:, 1:].T, lower=True
-                ).T
-                mln[f] = marg._lognorm
-            else:
-                # zero marginal block: lm = log n_i, cancelled by mln
-                mln[f] = -math.log(n_i)
+            jte[f, :m, :dj] = solve_triangular(Lp, mat.T, lower=True).T
+        # variable coordinate = last valid whitened column of each factor
+        zv_tr = np.zeros((F, ntr_pad))
+        zv_te = np.zeros((F, m_pad))
+        for f, n in enumerate(nodes):
+            dj = 1 + len(self._cpds[n].evidence())
+            zv_tr[f] = jtr[f, :, dj - 1]
+            zv_te[f] = jte[f, :, dj - 1]
         out = np.asarray(
             batched_ckde_logl(
-                jnp.asarray(jtr), jnp.asarray(jte), jnp.asarray(mtr),
-                jnp.asarray(mte), jnp.asarray(trm), jnp.asarray(jln),
-                jnp.asarray(mln), chunk=chunk,
+                jnp.asarray(jtr), jnp.asarray(jte), jnp.asarray(zv_tr),
+                jnp.asarray(zv_te), jnp.asarray(trm), jnp.asarray(lndiff),
+                chunk=chunk,
             ),
             dtype=np.float64,
         )[:, :m]

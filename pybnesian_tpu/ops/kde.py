@@ -115,45 +115,45 @@ def kde_conditional_logsumexp(
 
 
 @partial(jax.jit, static_argnames=("chunk",))
-def batched_ckde_logl(jtr, jte, mtr, mte, trm, jln, mln, chunk=256):
+def batched_ckde_logl(jtr, jte, zv_tr, zv_te, trm, lndiff, chunk=256):
     """Per-test-row conditional-KDE log-likelihood of F factors in ONE
     device launch — the model-level ``logl`` path (reference
     BNGeneric::logl:996 sums factor logls one at a time; batching removes
-    the per-node dispatch round trip). jtr: (F, ntr, djmax) whitened joint
-    train with padded rows masked by trm; jte: (F, nte, djmax); mtr/mte:
-    marginal counterparts ((F, *, dmmax), zeros for evidence-free factors —
-    with mln = −log n_valid the marginal term cancels); trm: (F, ntr);
-    jln/mln: (F,). Returns (F, nte)."""
-    dj = jtr.shape[2]
-    dm = mtr.shape[2]
+    the per-node dispatch round trip).
 
-    def one(jt, jw, mt, mw, m, a, b):
+    Shared-Cholesky layout (evidence first, variable last): jtr: (F, ntr,
+    djmax) whitened joint train with padded rows masked by trm; jte: (F,
+    nte, djmax); zv_tr/zv_te: (F, *) whitened variable coordinate so
+    ``marg_d2 = joint_d2 − Δz_var²`` — one distance matmul serves both
+    log-densities; trm: (F, ntr); lndiff: (F,) = joint_lognorm −
+    marg_lognorm = −log L_vv − ½ log 2π (with −log n_valid as the marginal
+    lognorm of evidence-free factors, whose Δz subtraction zeroes marg_d2
+    and makes the marginal logsumexp log n_valid). Returns (F, nte)."""
+    dj = jtr.shape[2]
+
+    def one(jt, jw, zt, zw, m, a):
         jn = jnp.sum(jnp.square(jt), axis=1)
-        mn = jnp.sum(jnp.square(mt), axis=1)
         neg = jnp.where(m > 0, 0.0, -jnp.inf)
 
         def body(args):
-            jc, mc = args
+            jc, zc = args
             jd2 = (
                 jnp.sum(jnp.square(jc), axis=1)[:, None]
                 - 2.0 * _dot(jc, jt.T)
                 + jn[None, :]
             )
             lj = jax.nn.logsumexp(-0.5 * jd2 + neg[None, :], axis=1)
-            md2 = (
-                jnp.sum(jnp.square(mc), axis=1)[:, None]
-                - 2.0 * _dot(mc, mt.T)
-                + mn[None, :]
-            )
+            vdiff = zc[:, None] - zt[None, :]
+            md2 = jd2 - vdiff * vdiff
             lm = jax.nn.logsumexp(-0.5 * md2 + neg[None, :], axis=1)
             return lj - lm
 
         jchunks = jw.reshape(-1, chunk, dj)
-        mchunks = mw.reshape(-1, chunk, dm)
-        out = jax.lax.map(body, (jchunks, mchunks)).reshape(-1)
-        return out + (a - b)
+        zchunks = zw.reshape(-1, chunk)
+        out = jax.lax.map(body, (jchunks, zchunks)).reshape(-1)
+        return out + a
 
-    return jax.vmap(one)(jtr, jte, mtr, mte, trm, jln, mln)
+    return jax.vmap(one)(jtr, jte, zv_tr, zv_te, trm, lndiff)
 
 
 @partial(jax.jit, static_argnames=("chunk",))
