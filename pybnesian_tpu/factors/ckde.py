@@ -43,6 +43,63 @@ class CKDEType(FactorType):
         return "CKDEFactor"
 
 
+def batched_ckde_logl_many(entries, chunk: int = 256):
+    """Per-row logl of many fitted CKDE factors in ONE device launch.
+
+    entries: list of ``(ckde, test_mat)`` where ``test_mat`` is an (m_i, dj)
+    float64 matrix in the factor's ``[variable, *evidence]`` column order
+    with nulls already zeroed (the caller handles NaN scatter). Returns a
+    list of (m_i,) float64 arrays.
+
+    Uses the shared-Cholesky layout: columns are permuted evidence-first so
+    the joint Cholesky's leading block is the marginal's (the reference's
+    device-buffer sharing, CKDE.hpp:182-200), letting
+    :func:`pybnesian_tpu.ops.kde.batched_ckde_logl` compute both
+    log-densities from one distance matmul.
+    """
+    import jax.numpy as jnp
+    from scipy.linalg import solve_triangular
+
+    from ..ops.kde import batched_ckde_logl
+
+    F = len(entries)
+    ntr_pad = -(-max(e[0].num_instances() for e in entries) // 256) * 256
+    m_pad = -(-max(max(len(e[1]) for e in entries), 1) // chunk) * chunk
+    djmax = max(1 + len(e[0].evidence()) for e in entries)
+    jtr = np.zeros((F, ntr_pad, djmax))
+    jte = np.zeros((F, m_pad, djmax))
+    trm = np.zeros((F, ntr_pad))
+    zv_tr = np.zeros((F, ntr_pad))
+    zv_te = np.zeros((F, m_pad))
+    lndiff = np.zeros(F)
+    for f, (cpd, mat) in enumerate(entries):
+        joint = cpd.kde_joint()
+        dj = 1 + len(cpd.evidence())
+        n_i = joint.num_instances()
+        perm = list(range(1, dj)) + [0]  # fitted layout is [var, *ev]
+        Hp = joint.bandwidth[np.ix_(perm, perm)]
+        Lp = np.linalg.cholesky(Hp)
+        jtr[f, :n_i, :dj] = solve_triangular(
+            Lp, joint._training[:, perm].T, lower=True
+        ).T
+        trm[f, :n_i] = 1.0
+        lndiff[f] = -math.log(Lp[dj - 1, dj - 1]) - 0.5 * _LOG_2PI
+        jte[f, : len(mat), :dj] = solve_triangular(
+            Lp, mat[:, perm].T, lower=True
+        ).T
+        zv_tr[f] = jtr[f, :, dj - 1]
+        zv_te[f] = jte[f, :, dj - 1]
+    out = np.asarray(
+        batched_ckde_logl(
+            jnp.asarray(jtr), jnp.asarray(jte), jnp.asarray(zv_tr),
+            jnp.asarray(zv_te), jnp.asarray(trm), jnp.asarray(lndiff),
+            chunk=chunk,
+        ),
+        dtype=np.float64,
+    )
+    return [out[f, : len(entries[f][1])] for f in range(F)]
+
+
 class CKDE(Factor):
     def __init__(self, variable, evidence=(), bandwidth_selector: BandwidthSelector | None = None):
         super().__init__(variable, evidence)

@@ -194,14 +194,32 @@ class DiscreteAdaptator(Factor):
         config_idx = flat_indices(df, self._discrete_evidence, self._strides)
         res = np.full(df.num_rows, np.nan)
         all_rows = np.arange(df.num_rows)
-        for c in range(len(self._factors)):
-            rows = all_rows[config_idx == c]
-            if len(rows) == 0:
-                continue
-            f = self._factors[c]
-            if f is None:
-                continue  # stays NaN
-            res[rows] = np.asarray(f.logl(df.take(rows)))
+        live = [
+            (c, all_rows[config_idx == c])
+            for c in range(len(self._factors))
+            if self._factors[c] is not None and np.any(config_idx == c)
+        ]
+        if self._base_cls is CKDE and len(live) > 1:
+            # all configurations' sub-CKDEs in ONE device launch
+            from .ckde import batched_ckde_logl_many
+
+            entries = []
+            valids = []
+            for c, rows in live:
+                f = self._factors[c]
+                cols = [self._variable, *f.evidence()]
+                sub = df.take(rows)
+                mat = sub.to_numpy(cols, drop_null=False, dtype=np.float64)
+                valids.append(sub.combined_mask(*cols))
+                entries.append((f, np.nan_to_num(mat, nan=0.0)))
+            outs = batched_ckde_logl_many(entries)
+            for (c, rows), vals, valid in zip(live, outs, valids):
+                vals = vals.copy()
+                vals[~valid] = np.nan
+                res[rows] = vals
+            return res
+        for c, rows in live:
+            res[rows] = np.asarray(self._factors[c].logl(df.take(rows)))
         return res
 
     def slogl(self, df) -> float:

@@ -466,66 +466,20 @@ class BayesianNetworkBase:
         ]
         if len(nodes) < 2:
             return {}
-        import jax.numpy as jnp
-        from scipy.linalg import solve_triangular
+        from ..factors.ckde import batched_ckde_logl_many
 
-        from ..ops.kde import batched_ckde_logl
-
-        chunk = 256
-        m = df.num_rows
-        m_pad = -(-max(m, 1) // chunk) * chunk
-        F = len(nodes)
-        ntr = max(self._cpds[n].num_instances() for n in nodes)
-        ntr_pad = -(-ntr // 256) * 256
-        djmax = max(
-            1 + len(self._cpds[n].evidence()) for n in nodes
-        )
-        jtr = np.zeros((F, ntr_pad, djmax))
-        jte = np.zeros((F, m_pad, djmax))
-        trm = np.zeros((F, ntr_pad))
-        lndiff = np.zeros(F)
+        entries = []
         valid_rows = {}
-        for f, n in enumerate(nodes):
+        for n in nodes:
             cpd = self._cpds[n]
-            joint = cpd.kde_joint()
-            # evidence-first permutation: the joint Cholesky's leading block
-            # is the marginal's (reference CKDE.hpp:182-200 buffer sharing)
-            cols = [*cpd.evidence(), n]
-            dj = len(cols)
-            n_i = joint.num_instances()
-            perm = list(range(1, dj)) + [0]  # fitted layout is [var, *ev]
-            Hp = joint.bandwidth[np.ix_(perm, perm)]
-            Lp = np.linalg.cholesky(Hp)
-            jtr[f, :n_i, :dj] = solve_triangular(
-                Lp, joint._training[:, perm].T, lower=True
-            ).T
-            trm[f, :n_i] = 1.0
-            lndiff[f] = -math.log(Lp[dj - 1, dj - 1]) - 0.5 * math.log(
-                2.0 * math.pi
-            )
+            cols = [n, *cpd.evidence()]
             mat = df.to_numpy(cols, drop_null=False, dtype=np.float64)
-            valid = df.combined_mask(*cols)
-            valid_rows[n] = valid
-            mat = np.nan_to_num(mat, nan=0.0)
-            jte[f, :m, :dj] = solve_triangular(Lp, mat.T, lower=True).T
-        # variable coordinate = last valid whitened column of each factor
-        zv_tr = np.zeros((F, ntr_pad))
-        zv_te = np.zeros((F, m_pad))
-        for f, n in enumerate(nodes):
-            dj = 1 + len(self._cpds[n].evidence())
-            zv_tr[f] = jtr[f, :, dj - 1]
-            zv_te[f] = jte[f, :, dj - 1]
-        out = np.asarray(
-            batched_ckde_logl(
-                jnp.asarray(jtr), jnp.asarray(jte), jnp.asarray(zv_tr),
-                jnp.asarray(zv_te), jnp.asarray(trm), jnp.asarray(lndiff),
-                chunk=chunk,
-            ),
-            dtype=np.float64,
-        )[:, :m]
+            valid_rows[n] = df.combined_mask(*cols)
+            entries.append((cpd, np.nan_to_num(mat, nan=0.0)))
+        outs = batched_ckde_logl_many(entries)
         result = {}
-        for f, n in enumerate(nodes):
-            vals = out[f].copy()
+        for n, vals in zip(nodes, outs):
+            vals = vals.copy()
             vals[~valid_rows[n]] = np.nan
             result[n] = vals
         return result
