@@ -143,6 +143,18 @@ class DataFrame:
 
     @staticmethod
     def from_pandas(df) -> "DataFrame":
+        # bulk fast path: homogeneous float frames convert with ONE
+        # to_numpy instead of per-column pandas item access (the per-call
+        # conversion cost dominates small fit/logl pipelines)
+        dtypes = df.dtypes.to_numpy()
+        if len(dtypes) and all(d == np.float64 for d in dtypes):
+            vals = df.to_numpy()
+            return DataFrame(
+                [
+                    Column(str(c), vals[:, i])
+                    for i, c in enumerate(df.columns)
+                ]
+            )
         return DataFrame([_column_from_object(str(c), df[c]) for c in df.columns])
 
     def to_pandas(self):

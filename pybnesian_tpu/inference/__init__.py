@@ -6,6 +6,8 @@ chains/particles sharded across the device mesh.
 """
 
 from .advi import advi
+from .diagnostics import (effective_sample_size, potential_scale_reduction,
+                          summarize)
 from .hmc import hmc, nuts, sample_chains, sample_chains_sharded
 from .logdensity import make_logdensity
 from .smc import smc
@@ -18,4 +20,7 @@ __all__ = [
     "sample_chains_sharded",
     "advi",
     "smc",
+    "effective_sample_size",
+    "potential_scale_reduction",
+    "summarize",
 ]

@@ -98,7 +98,12 @@ class BDe(Score):
         for i, (v, ps, nt) in enumerate(norm):
             if i not in set(disc_idx):
                 out[i] = self.local_score_node_type(model, nt, v, ps)
-        if disc_idx:
+        if disc_idx and len(disc_idx) * self.df.num_rows < 2_000_000:
+            # latency-dominated batch: host counting beats a device trip
+            for i in disc_idx:
+                v, ps, nt = norm[i]
+                out[i] = self.local_score_node_type(model, nt, v, ps)
+        elif disc_idx:
             pos, codes, cards_dev, cards_np = self._device_codes()
             F = len(disc_idx)
             Fb = _next_pow2(F, 8)

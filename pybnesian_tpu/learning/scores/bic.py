@@ -208,7 +208,12 @@ class BIC(Score):
         return out
 
     def _batched_discrete(self, fams) -> np.ndarray:
-        """Discrete families via one scatter-count device call."""
+        """Discrete families via one scatter-count device call; small
+        batches stay on host — a remote-device round trip costs more than
+        stride-counting a few million items with numpy (adaptive dispatch,
+        same idea as BLAS small-matrix fast paths)."""
+        if len(fams) * self.df.num_rows < 2_000_000:
+            return np.array([self._bic_discrete(v, ps) for v, ps in fams])
         import jax.numpy as jnp
 
         from ...ops.discrete import batched_bic_discrete

@@ -137,3 +137,35 @@ def test_sharded_chains_on_cpu_mesh():
     )
     assert samples.shape[0] == mesh.shape["data"]
     assert np.abs(np.asarray(samples).mean()) < 0.3
+
+
+def test_diagnostics_iid_chains():
+    from pybnesian_tpu.inference import (
+        effective_sample_size,
+        potential_scale_reduction,
+        summarize,
+    )
+
+    rng = np.random.default_rng(0)
+    iid = rng.normal(0.0, 1.0, (4, 2000))
+    rhat = potential_scale_reduction(iid)
+    ess = effective_sample_size(iid)
+    assert abs(rhat - 1.0) < 0.01
+    # iid draws: ESS ~ total draws
+    assert 0.75 * iid.size < ess < 1.35 * iid.size
+    # AR(1) with rho=0.9: ESS ratio ~ (1-rho)/(1+rho) ~ 0.053
+    rho = 0.9
+    ar = np.zeros((4, 4000))
+    ar[:, 0] = rng.normal(size=4)
+    eps = rng.normal(size=(4, 4000))
+    for t in range(1, 4000):
+        ar[:, t] = rho * ar[:, t - 1] + np.sqrt(1 - rho**2) * eps[:, t]
+    ess_ar = effective_sample_size(ar)
+    ratio = ess_ar / ar.size
+    assert 0.02 < ratio < 0.12
+    # non-converged chains (offset means) flagged by R-hat
+    bad = iid.copy()
+    bad[0] += 3.0
+    assert potential_scale_reduction(bad) > 1.2
+    s = summarize({"x": iid})
+    assert set(s["x"]) == {"mean", "sd", "ess", "rhat"}
