@@ -266,6 +266,32 @@ class HomogeneousBNType(BayesianNetworkType):
 
 
 # =========================================================== Heterogeneous
+def _dtype_key(x) -> str:
+    """Canonical string key for a data type: accepts pyarrow DataTypes
+    (reference MapDataToFactor keys, models/HeterogeneousBN.hpp:22-110),
+    numpy dtypes, or strings. Categorical/dictionary types map to
+    'categorical'."""
+    try:
+        import pyarrow as pa
+
+        if isinstance(x, pa.DataType):
+            if pa.types.is_float32(x):
+                return "float32"
+            if pa.types.is_float64(x):
+                return "float64"
+            if pa.types.is_dictionary(x):
+                return "categorical"
+            return str(x)
+    except ImportError:  # pragma: no cover
+        pass
+    if isinstance(x, str):
+        return x
+    try:
+        return str(np.dtype(x))
+    except TypeError:
+        return str(x)
+
+
 class HeterogeneousBNType(BayesianNetworkType):
     """User-supplied default factor types, optionally per data type
     (reference models/HeterogeneousBN.hpp:22-110)."""
@@ -275,10 +301,12 @@ class HeterogeneousBNType(BayesianNetworkType):
         return False
 
     def __init__(self, default_factor_types):
-        # list[FactorType]  OR  dict[data-type-str -> list[FactorType]]
+        # list[FactorType]  OR  dict[data-type -> list[FactorType]] with
+        # pyarrow DataType / numpy dtype / string keys
         if isinstance(default_factor_types, dict):
             self.default_map = {
-                str(k): list(v) for k, v in default_factor_types.items()
+                _dtype_key(k): list(v)
+                for k, v in default_factor_types.items()
             }
             self.default_list = None
         else:
@@ -305,7 +333,7 @@ class HeterogeneousBNType(BayesianNetworkType):
 
     def data_default_node_type(self, df, variable):
         if self.default_map is not None:
-            key = str(df.col_dtype(variable))
+            key = _dtype_key(df.col_dtype(variable))
             if key in self.default_map:
                 return self.default_map[key]
             raise ValueError(

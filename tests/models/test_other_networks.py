@@ -77,3 +77,38 @@ def test_model_graph_delegation():
     assert bn.has_unknown_node_types()
     bn.set_unknown_node_types(df)
     assert not bn.has_unknown_node_types()
+
+
+def test_heterogeneous_pyarrow_dtype_map():
+    """Per-data-type default maps accept pyarrow DataType keys (reference
+    MapDataToFactor, models/HeterogeneousBN.hpp:22-110)."""
+    import pyarrow as pa
+    import pandas as pd
+
+    from pybnesian_tpu import (
+        CKDEType,
+        DiscreteFactorType,
+        HeterogeneousBN,
+        LinearGaussianCPDType,
+    )
+
+    rng = np.random.default_rng(0)
+    df = pd.DataFrame(
+        {
+            "x": rng.normal(size=50).astype(np.float32),
+            "y": rng.normal(size=50),
+            "A": pd.Categorical(rng.choice(["u", "v"], 50)),
+        }
+    )
+    het = HeterogeneousBN(
+        {
+            pa.float32(): [CKDEType()],
+            pa.float64(): [LinearGaussianCPDType()],
+            pa.dictionary(pa.int8(), pa.string()): [DiscreteFactorType()],
+        },
+        ["x", "y", "A"],
+    )
+    het.set_unknown_node_types(df)
+    assert het.node_type("x") == CKDEType()
+    assert het.node_type("y") == LinearGaussianCPDType()
+    assert het.node_type("A") == DiscreteFactorType()
