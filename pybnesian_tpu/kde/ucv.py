@@ -94,6 +94,71 @@ class UCVScorer:
         return self.score_unconstrained(np.diag(np.asarray(diag_bandwidth)))
 
 
+def _device_minimize(scorer: UCVScorer, x0, start_det, start_score,
+                     diagonal: bool):
+    """Run the whole Nelder–Mead UCV minimization in ONE device dispatch
+    (objective evaluations included) — the reference launches one OpenCL
+    pair-sum pipeline per NLopt evaluation (kde/UCV.cpp:469-505); a remote
+    dispatch per evaluation would dominate the optimization here."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.kde import ucv_pair_sums
+    from ..ops.nelder_mead import nelder_mead
+
+    d = scorer.d
+    N = scorer.N
+    chunk = scorer._chunk
+    pad = np.zeros((scorer._npad, d))
+    pad[:N] = scorer.training
+    Xpad = jnp.asarray(pad)
+    valid = jnp.asarray(scorer._valid)
+    rows, cols = np.tril_indices(d)
+    log2 = math.log(2.0)
+    max_iter = 200 * len(x0)
+
+    @jax.jit
+    def run(x0_, sd, ss, fat, xat):
+        def score_of_sqrt(L):
+            logdiag = jnp.log(jnp.abs(jnp.diag(L)) + 1e-300)
+            det = jnp.exp(2.0 * jnp.sum(logdiag))
+            W = jax.scipy.linalg.solve_triangular(L, Xpad.T, lower=True).T
+            s2h, sh = ucv_pair_sums(W, valid, chunk=chunk)
+            lognorm_h = -jnp.sum(logdiag) - 0.5 * d * _LOG_2PI
+            lognorm_2h = lognorm_h - 0.5 * d * log2
+            score = (
+                jnp.exp(lognorm_2h)
+                + 2.0 * s2h * jnp.exp(lognorm_2h) / N
+                - 4.0 * sh * jnp.exp(lognorm_h) / (N - 1)
+            )
+            bad = (
+                (det <= MACHINE_TOL)
+                | (det < 1e-3 * sd)
+                | (det > 1e3 * sd)
+                | jnp.isnan(det)
+                | jnp.isnan(score)
+                | (jnp.abs(score) > 1e3 * jnp.abs(ss))
+            )
+            return jnp.where(bad, ss + 1e-7, score)
+
+        if diagonal:
+            def objective(x):
+                return score_of_sqrt(jnp.diag(x))
+        else:
+            def objective(x):
+                L = jnp.zeros((d, d), x0_.dtype).at[rows, cols].set(x)
+                return score_of_sqrt(L)
+
+        return nelder_mead(objective, x0_, fat, xat, max_iter=max_iter)
+
+    fatol = 1e-4 * abs(start_score) + 1e-12
+    xatol = 1e-4 * float(np.abs(x0).max()) + 1e-12
+    xb, fb, _ = run(jnp.asarray(x0), start_det, start_score, fatol, xatol)
+    xb = np.asarray(xb, dtype=np.float64)
+    # never return a worse point than the start (guard against f32 plateaus)
+    return xb if float(fb) <= start_score else np.asarray(x0, np.float64)
+
+
 class UCV(BandwidthSelector):
     def __init__(self):
         self._nr = NormalReferenceRule()
@@ -102,74 +167,28 @@ class UCV(BandwidthSelector):
         variables = list(variables)
         if not variables:
             return np.zeros((0, 0))
-        from scipy.optimize import minimize
-
         start_h = self._nr.bandwidth(df, variables)
         scorer = UCVScorer(df, variables)
         start_score = scorer.score_unconstrained(start_h)
         start_det = float(np.linalg.det(start_h))
-        start_chol = np.linalg.cholesky(start_h)
-        x0 = vech(start_chol)
-
-        def objective(x):
-            sqrt = invvech_triangular(x)
-            det = math.exp(2 * np.sum(np.log(np.abs(np.diag(sqrt)) + 1e-300)))
-            if (
-                det <= MACHINE_TOL
-                or det < 1e-3 * start_det
-                or det > 1e3 * start_det
-                or math.isnan(det)
-            ):
-                return start_score + 1e-7
-            score = scorer.score_unconstrained(sqrt @ sqrt.T)
-            if abs(score) > 1e3 * abs(start_score):
-                return start_score + 1e-7
-            return score
-
-        res = minimize(
-            objective,
-            x0,
-            method="Nelder-Mead",
-            options={"fatol": 1e-4 * abs(start_score) + 1e-12,
-                     "xatol": 1e-4 * float(np.abs(x0).max()) + 1e-12},
-        )
-        sqrt = invvech_triangular(res.x)
+        x0 = vech(np.linalg.cholesky(start_h))
+        xb = _device_minimize(scorer, x0, start_det, start_score,
+                              diagonal=False)
+        sqrt = invvech_triangular(xb)
         return sqrt @ sqrt.T
 
     def diag_bandwidth(self, df, variables) -> np.ndarray:
         variables = list(variables)
         if not variables:
             return np.zeros(0)
-        from scipy.optimize import minimize
-
         start_diag = self._nr.diag_bandwidth(df, variables)
         scorer = UCVScorer(df, variables)
         start_score = scorer.score_diagonal(start_diag)
         start_det = float(np.prod(start_diag))
         x0 = np.sqrt(start_diag)
-
-        def objective(x):
-            det_sqrt = float(np.prod(x))
-            det = det_sqrt * det_sqrt
-            if (
-                det <= MACHINE_TOL
-                or det < 1e-3 * start_det
-                or det > 1e3 * start_det
-            ):
-                return start_score + 1e-7
-            score = scorer.score_diagonal(np.square(x))
-            if abs(score) > 1e3 * abs(start_score):
-                return start_score + 1e-7
-            return score
-
-        res = minimize(
-            objective,
-            x0,
-            method="Nelder-Mead",
-            options={"fatol": 1e-4 * abs(start_score) + 1e-12,
-                     "xatol": 1e-4 * float(np.abs(x0).max()) + 1e-12},
-        )
-        return np.square(res.x)
+        xb = _device_minimize(scorer, x0, start_det, start_score,
+                              diagonal=True)
+        return np.square(xb)
 
     def ToString(self) -> str:
         return "UCV"

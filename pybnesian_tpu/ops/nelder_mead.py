@@ -1,0 +1,119 @@
+"""Jitted Nelder–Mead simplex minimizer.
+
+Device-side replacement for the host scipy loop in UCV bandwidth selection:
+the reference minimizes the UCV objective with NLopt Nelder–Mead on host,
+launching one OpenCL pair-sum pipeline per evaluation (kde/UCV.cpp:469-505).
+Here the WHOLE optimization — simplex updates and every objective
+evaluation — runs inside one ``lax.while_loop`` on device, so a bandwidth
+fit costs one dispatch instead of hundreds of latency-bound round trips.
+
+Coefficients and the initial simplex follow scipy.optimize's Nelder–Mead
+(rho=1, chi=2, psi=0.5, sigma=0.5; x0 perturbed 5% per coordinate,
+0.00025 for zeros) so results track the host implementation closely.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["nelder_mead"]
+
+
+def nelder_mead(objective, x0, fatol, xatol, max_iter: int = 400):
+    """Minimize ``objective`` (a jax-traceable scalar function of a 1-D
+    vector) starting at ``x0``. Returns (x_best, f_best, n_iter). Call under
+    jit for a single-dispatch optimization."""
+    n = x0.shape[0]
+    rho, chi, psi, sigma = 1.0, 2.0, 0.5, 0.5
+
+    pert = jnp.where(x0 != 0.0, x0 * 1.05, 0.00025)
+    # rows 1..n equal x0 with coordinate k replaced by pert[k]
+    simplex = jnp.concatenate(
+        [
+            x0[None, :],
+            jnp.tile(x0, (n, 1)).at[jnp.arange(n), jnp.arange(n)].set(pert),
+        ],
+        axis=0,
+    )
+    fvals = jax.vmap(objective)(simplex)
+
+    def order(sim, fv):
+        idx = jnp.argsort(fv)
+        return sim[idx], fv[idx]
+
+    simplex, fvals = order(simplex, fvals)
+
+    def converged(sim, fv):
+        fspread = jnp.max(jnp.abs(fv[1:] - fv[0]))
+        xspread = jnp.max(jnp.abs(sim[1:] - sim[0]))
+        return (fspread <= fatol) & (xspread <= xatol)
+
+    def body(state):
+        sim, fv, it = state
+        xbar = jnp.mean(sim[:-1], axis=0)
+        xw = sim[-1]
+        fw = fv[-1]
+        xr = xbar + rho * (xbar - xw)
+        fr = objective(xr)
+
+        def do_expand(_):
+            xe = xbar + rho * chi * (xbar - xw)
+            fe = objective(xe)
+            better = fe < fr
+            return jnp.where(better, xe, xr), jnp.where(better, fe, fr), False
+
+        def do_reflect(_):
+            return xr, fr, False
+
+        def do_contract(_):
+            outside = fr < fw
+
+            def out(_):
+                xc = xbar + psi * rho * (xbar - xw)
+                fc = objective(xc)
+                return xc, fc, fc > fr
+
+            def inn(_):
+                xcc = xbar - psi * (xbar - xw)
+                fcc = objective(xcc)
+                return xcc, fcc, fcc >= fw
+
+            return jax.lax.cond(outside, out, inn, None)
+
+        best = fr < fv[0]
+        mid = (~best) & (fr < fv[-2])
+        new_x, new_f, shrink = jax.lax.cond(
+            best,
+            do_expand,
+            lambda _: jax.lax.cond(mid, do_reflect, do_contract, None),
+            None,
+        )
+
+        def do_shrink(args):
+            s, f = args
+            shrunk = s[0][None, :] + sigma * (s - s[0][None, :])
+            fs = jax.vmap(objective)(shrunk)
+            # keep the best vertex exact
+            shrunk = shrunk.at[0].set(s[0])
+            fs = fs.at[0].set(f[0])
+            return shrunk, fs
+
+        def accept(args):
+            s, f = args
+            return s.at[-1].set(new_x), f.at[-1].set(new_f)
+
+        sim2, fv2 = jax.lax.cond(shrink, do_shrink, accept, (sim, fv))
+        sim2, fv2 = order(sim2, fv2)
+        return sim2, fv2, it + 1
+
+    def cond(state):
+        sim, fv, it = state
+        return (it < max_iter) & (~converged(sim, fv))
+
+    simplex, fvals, iters = jax.lax.while_loop(
+        cond, body, (simplex, fvals, jnp.asarray(0))
+    )
+    return simplex[0], fvals[0], iters
