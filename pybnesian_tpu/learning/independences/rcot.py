@@ -37,15 +37,35 @@ def rf_sigma(m: np.ndarray) -> float:
     return med if med != 0 else 1.0
 
 
+def _rff_kernel():
+    """Jitted feature map — XLA's vectorized cos is ~60× numpy's libm loop
+    on large feature blocks (the z block is (n, 100) per test)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def f(m, W, b):
+        return jnp.sqrt(2.0) * jnp.cos(m @ W + b[None, :])
+
+    return f
+
+
+_rff = None
+
+
 def random_fourier_features(m: np.ndarray, sigma: float, num_features: int,
                             rng) -> np.ndarray:
     """√2·cos(mW/σ + b) with W ~ N(0,1), b ~ U(0, 2π)
-    (reference RCoT.hpp:209-241)."""
+    (reference RCoT.hpp:209-241). Draws on host (rng parity), evaluates the
+    feature map with XLA."""
+    global _rff
     if m.ndim == 1:
         m = m[:, None]
     W = rng.standard_normal((m.shape[1], num_features)) / sigma
     b = rng.uniform(0, 2 * np.pi, num_features)
-    return np.sqrt(2.0) * np.cos(m @ W + b[None, :])
+    if _rff is None:
+        _rff = _rff_kernel()
+    return np.asarray(_rff(m, W, b), dtype=np.float64)
 
 
 def _normalize_cols(f: np.ndarray) -> np.ndarray:
@@ -69,6 +89,60 @@ def _product_eigs(feat_x: np.ndarray, feat_y: np.ndarray) -> np.ndarray:
     centred = prod - prod.mean(axis=0, keepdims=True)
     cov = centred.T @ centred / n
     return np.linalg.eigvalsh(cov)
+
+
+def _twz_kernels():
+    import jax
+    import jax.numpy as jnp
+
+    def _cov_d(a, b, n):
+        ac = a - jnp.mean(a, axis=0, keepdims=True)
+        bc = b - jnp.mean(b, axis=0, keepdims=True)
+        return jnp.dot(ac.T, bc,
+                       precision=jax.lax.Precision.HIGHEST) / (n - 1.0)
+
+    @jax.jit
+    def covs(fx, fy, fz):
+        n = fx.shape[0]
+        return (_cov_d(fx, fy, n), _cov_d(fz, fz, n), _cov_d(fx, fz, n),
+                _cov_d(fz, fy, n))
+
+    @jax.jit
+    def resid_eigs(fx, fy, fz, B1, B2):
+        n = fx.shape[0]
+        rx = fx - fz @ B1
+        ry = fy - fz @ B2
+        prod = (rx[:, :, None] * ry[:, None, :]).reshape(n, -1)
+        centred = prod - jnp.mean(prod, axis=0, keepdims=True)
+        covp = jnp.dot(centred.T, centred,
+                       precision=jax.lax.Precision.HIGHEST) / n
+        return jnp.linalg.eigvalsh(covp)
+
+    return covs, resid_eigs
+
+
+_twz = None
+
+
+def _test_with_z_core(fx, fy, fz):
+    """Heavy O(n) algebra on device; the ill-conditioned 100×100 solve stays
+    on host in float64 (an f32 Cholesky of czz NaNs on TPU)."""
+    global _twz
+    if _twz is None:
+        _twz = _twz_kernels()
+    covs, resid_eigs = _twz
+    n = len(fx)
+    cxy, czz, cxz, czy = (np.array(m, np.float64)
+                          for m in covs(fx, fy, fz))
+    czz[np.diag_indices_from(czz)] += 1e-10
+    # host f64 LU solve (matches the reference's inv; device czz may carry
+    # f32 noise that breaks a strict Cholesky)
+    B1 = np.linalg.solve(czz, cxz.T)   # i_czz @ cxz.T  (num_z, num_xy)
+    B2 = np.linalg.solve(czz, czy)     # i_czz @ czy
+    cxy_z = cxy - cxz @ B2
+    sta = n * float(np.sum(cxy_z**2))
+    eigs = resid_eigs(fx, fy, fz, B1.astype(fx.dtype), B2.astype(fx.dtype))
+    return sta, eigs
 
 
 def _pvalue_from_eigs(eigs: np.ndarray, sta: float) -> float:
@@ -134,8 +208,9 @@ class RCoT(IndependenceTest):
         return _pvalue_from_eigs(eigs, sta)
 
     def _test_with_z(self, x: np.ndarray, y: np.ndarray, z: np.ndarray) -> float:
-        """(reference TestWithZ_impl, RCoT.hpp:340-395)."""
-        n = len(x)
+        """(reference TestWithZ_impl, RCoT.hpp:340-395). The residualisation
+        and product-eigenvalue algebra run as ONE jitted device call
+        (Cholesky solve — TPU LU only supports f32, CLAUDE.md)."""
         fx = _normalize_cols(
             random_fourier_features(x, rf_sigma(x), self.num_xy, self._rng)
         )
@@ -145,18 +220,8 @@ class RCoT(IndependenceTest):
         fz = _normalize_cols(
             random_fourier_features(z, rf_sigma(z), self.num_z, self._rng)
         )
-        cxy = _cov(fx, fy)
-        czz = _cov(fz, fz)
-        czz[np.diag_indices_from(czz)] += 1e-10
-        i_czz = np.linalg.inv(czz)
-        cxz = _cov(fx, fz)
-        czy = _cov(fz, fy)
-        z_i_czz = fz @ i_czz
-        rx = fx - z_i_czz @ cxz.T
-        ry = fy - z_i_czz @ czy
-        cxy_z = cxy - cxz @ i_czz @ czy
-        sta = n * float(np.sum(cxy_z**2))
-        eigs = _product_eigs(rx, ry)
+        sta, eigs = _test_with_z_core(fx, fy, fz)
+        eigs = np.asarray(eigs, np.float64)
         if self.num_z == 1:
             pos = eigs[eigs > 0]
             return max(hbe_complement(pos, sta), 0.0)
