@@ -303,8 +303,10 @@ class _KFoldEngine:
                     max(len(fams[i][1]) + 1 for i in idxs), 2
                 )
                 # generous floor: fewer distinct compiled shapes matters more
-                # than wasted lanes (each shape costs an XLA compile)
-                Fb = _next_pow2(F, 16)
+                # than wasted lanes (each shape costs an XLA compile) — but
+                # at large n the padded families' pairwise work dominates, so
+                # the floor shrinks
+                Fb = _next_pow2(F, 16 if self.df.num_rows <= 20_000 else 4)
                 col_idx = np.zeros((Fb, djmax), np.int32)
                 col_mask = np.zeros((Fb, djmax), dtype)
                 for f, i in enumerate(idxs):
