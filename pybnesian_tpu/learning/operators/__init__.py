@@ -348,13 +348,20 @@ class ArcOperatorSet(OperatorSet):
         ns, nt = len(self._sources), len(self._targets)
         self.delta = np.full((ns, nt), -np.inf)
         self.valid_op = np.ones((ns, nt), dtype=bool)
+        for (s, t) in [*self._whitelist, *self._blacklist]:
+            # unknown names are a caller error, not a no-op
+            # (reference validate_whitelists.cpp)
+            if s not in self._spos or t not in self._tpos:
+                raise ValueError(
+                    f"Arc ({s}, {t}) restriction uses a node not present in "
+                    "the graph."
+                )
         for (s, t) in self._whitelist:
             self.valid_op[self._spos[s], self._tpos[t]] = False
             if s in self._tpos and t in self._spos:
                 self.valid_op[self._spos[t], self._tpos[s]] = False
         for (s, t) in self._blacklist:
-            if s in self._spos and t in self._tpos:
-                self.valid_op[self._spos[s], self._tpos[t]] = False
+            self.valid_op[self._spos[s], self._tpos[t]] = False
         for t in self._targets:
             if t in self._spos:
                 self.valid_op[self._spos[t], self._tpos[t]] = False
