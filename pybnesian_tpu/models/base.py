@@ -17,7 +17,7 @@ import numpy as np
 
 from ..data import DataFrame
 from ..factors.base import Arguments, FactorType, UnknownFactorType
-from ..graph import ConditionalDag, Dag
+from ..graph import ConditionalDag, Dag, NodeLookupError
 
 __all__ = [
     "BayesianNetworkType",
@@ -673,11 +673,20 @@ class BayesianNetwork(BayesianNetworkBase):
             self._graph = graph
         else:
             self._graph = Dag(list(nodes or []))
+            # nodes are inferred from arc endpoints only in the arcs-only
+            # construction; with an explicit node list, unknown endpoints are
+            # an error (reference pybindings_models.cpp overloads +
+            # generic_graph node lookup)
+            infer_nodes = nodes is None
             for (s, t) in arcs or []:
-                if not self._graph.contains_node(s):
-                    self._graph.add_node(s)
-                if not self._graph.contains_node(t):
-                    self._graph.add_node(t)
+                for endpoint in (s, t):
+                    if not self._graph.contains_node(endpoint):
+                        if infer_nodes:
+                            self._graph.add_node(endpoint)
+                        else:
+                            raise NodeLookupError(
+                                f"Node '{endpoint}' not present in the graph"
+                            )
                 if not type.can_have_arc(self, s, t):
                     raise ValueError(
                         f"Arc {s} -> {t} not allowed by {type.ToString()}"

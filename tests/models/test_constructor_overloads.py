@@ -84,3 +84,20 @@ def test_duplicate_slot_rejected():
         pbn.BayesianNetwork(
             pbn.GaussianNetworkType(), [("a", "b")], [("b", "c")]
         )
+
+
+def test_explicit_nodes_reject_unknown_arc_endpoints():
+    """With an explicit node list, arcs may not reference other nodes
+    (reference SemiparametricBN_test.py:38-40); nodes are inferred from
+    arcs only in the arcs-only overload."""
+    import pytest
+
+    import pybnesian_tpu as pbn
+
+    with pytest.raises((KeyError, ValueError), match="not present in the graph"):
+        pbn.SemiparametricBN(["a", "b", "c"], [("a", "d")])
+    with pytest.raises((KeyError, ValueError), match="not present in the graph"):
+        pbn.GaussianNetwork(["a", "b"], [("a", "x")])
+    # arcs-only still infers nodes
+    m = pbn.GaussianNetwork([("a", "c"), ("b", "c")])
+    assert sorted(m.nodes()) == ["a", "b", "c"]
