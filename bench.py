@@ -81,7 +81,7 @@ def bench_ours(df, fams, k=10):
 
     # valid shifts are 1..d-2 (shift+1 == d would make a family its own
     # parent); warm used 1, reps use the rest — every rep distinct
-    reps = min(3, d - 3)
+    reps = max(1, min(3, d - 3))
     t0 = time.time()
     for r in range(reps):
         run_once(2 + r)

@@ -39,12 +39,14 @@ __all__ = [
 ]
 
 
-class NodeLookupError(ValueError, KeyError):
+class NodeLookupError(ValueError, KeyError, IndexError):
     """Lookup of a node name that is not present in the graph.
 
     The reference raises ``std::invalid_argument`` (mapped to ``ValueError``)
-    from generic_graph.hpp index lookups; subclassing ``KeyError`` too keeps
-    dict-style ``except KeyError`` callers working.
+    from generic_graph.hpp index lookups, and ``std::out_of_range`` (mapped
+    to ``IndexError``) from arc lookups against explicit node lists
+    (SemiparametricBN_test.py expects ``pytest.raises(IndexError)``);
+    subclassing all three keeps every caller style working.
     """
 
 

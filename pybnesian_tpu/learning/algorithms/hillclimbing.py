@@ -54,6 +54,19 @@ class GreedyHillClimbing:
         type_blacklist = list(type_blacklist or [])
         type_whitelist = list(type_whitelist or [])
 
+        # cross-check restrictions up front (hillclimbing.hpp:292-297)
+        if not score.compatible_bn(start):
+            raise ValueError(
+                "BayesianNetwork is not compatible with the score."
+            )
+        from ...utils.validate import (
+            validate_arc_restrictions,
+            validate_type_restrictions,
+        )
+
+        validate_arc_restrictions(start, arc_blacklist, arc_whitelist)
+        validate_type_restrictions(start, type_blacklist, type_whitelist)
+
         from ...utils.progress import spinner
 
         progress = spinner(verbose)

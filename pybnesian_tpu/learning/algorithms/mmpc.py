@@ -101,8 +101,8 @@ def mmpc_all_variables(test, names, alpha, arc_whitelist=None,
                        edge_blacklist=None, edge_whitelist=None,
                        interface_nodes=()):
     """CPC sets for every variable, symmetry-corrected."""
-    arc_whitelist = list(arc_whitelist or [])
-    edge_whitelist = list(edge_whitelist or [])
+    arc_whitelist = [tuple(a) for a in (arc_whitelist or [])]
+    edge_whitelist = [tuple(e) for e in (edge_whitelist or [])]
     blacklisted = {frozenset(e) for e in (edge_blacklist or [])}
     white_pairs: dict[str, set] = {n: set() for n in names}
     for (s, t) in arc_whitelist + edge_whitelist:
@@ -156,13 +156,20 @@ class MMPC:
                 "IndependenceTest do not contain all the variables in nodes "
                 "list."
             )
+        from ...utils.validate import validate_restrictions
+
         skeleton = PartiallyDirectedGraph(nodes)
-        arc_whitelist = list(arc_whitelist or [])
-        for (s, t) in arc_whitelist:
+        # normalized restrictions (reference mmpc.cpp:1006-1007): conflicting
+        # lists raise, both-direction arc blacklists become edge blacklists
+        r = validate_restrictions(
+            skeleton, arc_blacklist, arc_whitelist, edge_blacklist,
+            edge_whitelist,
+        )
+        for (s, t) in r.arc_whitelist:
             skeleton.add_arc(s, t)
         cpcs = mmpc_all_variables(
-            hypot_test, list(nodes), alpha, arc_whitelist, edge_blacklist,
-            edge_whitelist,
+            hypot_test, list(nodes), alpha, r.arc_whitelist,
+            r.edge_blacklist, r.edge_whitelist,
         )
         for v in nodes:
             for p in cpcs[v]:
@@ -172,13 +179,12 @@ class MMPC:
                     and not skeleton.has_edge(v, p)
                 ):
                     skeleton.add_edge(v, p)
-        arc_blacklist = list(arc_blacklist or [])
-        for (s, t) in arc_blacklist:
+        for (s, t) in r.arc_blacklist:
             if skeleton.has_edge(s, t):
                 skeleton.direct(t, s)
         _direct_unshielded_triples(
-            skeleton, hypot_test, arc_blacklist, arc_whitelist, alpha, None,
-            True, ambiguous_threshold, allow_bidirected,
+            skeleton, hypot_test, r.arc_blacklist, r.arc_whitelist, alpha,
+            None, True, ambiguous_threshold, allow_bidirected,
         )
         MeekRules.all_rules_sequential_interactive(skeleton)
         return skeleton
@@ -197,15 +203,20 @@ class MMPC:
         allow_bidirected: bool = True,
         verbose: int = 0,
     ) -> ConditionalPartiallyDirectedGraph:
+        from ...utils.validate import validate_restrictions
+
         interface_nodes = list(interface_nodes or [])
         skeleton = ConditionalPartiallyDirectedGraph(nodes, interface_nodes)
-        arc_whitelist = list(arc_whitelist or [])
-        for (s, t) in arc_whitelist:
+        r = validate_restrictions(
+            skeleton, arc_blacklist, arc_whitelist, edge_blacklist,
+            edge_whitelist,
+        )
+        for (s, t) in r.arc_whitelist:
             skeleton.add_arc(s, t)
         all_names = list(nodes) + interface_nodes
         cpcs = mmpc_all_variables(
-            hypot_test, all_names, alpha, arc_whitelist, edge_blacklist,
-            edge_whitelist, interface_nodes=interface_nodes,
+            hypot_test, all_names, alpha, r.arc_whitelist, r.edge_blacklist,
+            r.edge_whitelist, interface_nodes=interface_nodes,
         )
         for v in nodes:
             for p in cpcs[v]:
@@ -217,10 +228,12 @@ class MMPC:
                     skeleton.add_arc(p, v)
                 else:
                     skeleton.add_edge(v, p)
-        arc_blacklist = list(arc_blacklist or [])
+        for (s, t) in r.arc_blacklist:
+            if skeleton.has_edge(s, t):
+                skeleton.direct(t, s)
         _direct_unshielded_triples(
-            skeleton, hypot_test, arc_blacklist, arc_whitelist, alpha, None,
-            True, ambiguous_threshold, allow_bidirected,
+            skeleton, hypot_test, r.arc_blacklist, r.arc_whitelist, alpha,
+            None, True, ambiguous_threshold, allow_bidirected,
         )
         MeekRules.all_rules_sequential_interactive(skeleton)
         return skeleton

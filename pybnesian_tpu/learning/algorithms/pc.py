@@ -369,46 +369,65 @@ class PC:
                 skeleton.add_edge(names[i], names[j])
             for itf in interface_nodes:
                 skeleton.add_edge(names[i], itf)
-        result = self._estimate_impl(
+        return self._estimate_impl(
             skeleton, hypot_test, arc_blacklist, arc_whitelist,
             edge_blacklist, edge_whitelist, alpha, use_sepsets,
             ambiguous_threshold, allow_bidirected,
         )
-        # interface edges become interface -> node arcs
-        for (u, v) in list(result.edges()):
-            if result.is_interface(u):
-                result.direct(u, v)
-            elif result.is_interface(v):
-                result.direct(v, u)
-        return result
 
     def _estimate_impl(self, skeleton, test, arc_blacklist, arc_whitelist,
                        edge_blacklist, edge_whitelist, alpha, use_sepsets,
                        ambiguous_threshold, allow_bidirected):
-        arc_blacklist = list(arc_blacklist or [])
-        arc_whitelist = list(arc_whitelist or [])
-        edge_blacklist = list(edge_blacklist or [])
-        edge_whitelist = list(edge_whitelist or [])
+        from ...utils.validate import validate_restrictions
 
-        for (u, v) in edge_blacklist:
+        # normalize + cross-check the lists (reference pc.cpp:277-278):
+        # both-direction arc blacklists become edge removals, conflicting
+        # white/blacklists raise.
+        r = validate_restrictions(
+            skeleton, arc_blacklist, arc_whitelist, edge_blacklist,
+            edge_whitelist,
+        )
+
+        for e in r.edge_blacklist:
+            u, v = tuple(e)
             if skeleton.has_edge(u, v):
                 skeleton.remove_edge(u, v)
-        for (s, t) in arc_blacklist:
-            # blacklisted in one direction: can only appear as t -> s
-            pass
-        for (s, t) in arc_whitelist:
+        for (s, t) in r.arc_whitelist:
             skeleton.direct(s, t)
+        # a cycle cannot be generated with fewer arcs (pc.cpp:288-297)
+        if len(r.arc_whitelist) > 2:
+            try:
+                skeleton.to_dag()
+            except ValueError:
+                raise ValueError(
+                    "The selected blacklist/whitelist configuration does "
+                    "not allow an acyclic graph."
+                )
 
         sepset = SepSet()
-        _find_skeleton(skeleton, test, alpha, edge_whitelist, sepset)
+        _find_skeleton(skeleton, test, alpha, r.edge_whitelist, sepset)
+
+        if hasattr(skeleton, "is_interface"):
+            # conditional graphs: interface edges become interface -> node
+            # arcs, then blacklisted interface arcs are dropped
+            # (pc.cpp:302-305, constraint.hpp remove_interface_arcs_blacklist)
+            for (u, v) in list(skeleton.edges()):
+                if skeleton.is_interface(u):
+                    skeleton.direct(u, v)
+                elif skeleton.is_interface(v):
+                    skeleton.direct(v, u)
+            for (s, t) in r.arc_blacklist:
+                if skeleton.has_arc(s, t):
+                    skeleton.remove_arc(s, t)
 
         # blacklisted arcs: direct the other way if an edge remains
-        for (s, t) in arc_blacklist:
+        # (constraint.hpp direct_arc_blacklist)
+        for (s, t) in r.arc_blacklist:
             if skeleton.has_edge(s, t):
                 skeleton.direct(t, s)
 
         _direct_unshielded_triples(
-            skeleton, test, arc_blacklist, arc_whitelist, alpha, sepset,
+            skeleton, test, r.arc_blacklist, r.arc_whitelist, alpha, sepset,
             use_sepsets, ambiguous_threshold, allow_bidirected,
         )
         MeekRules.all_rules_sequential_interactive(skeleton)

@@ -356,6 +356,14 @@ class ArcOperatorSet(OperatorSet):
                     f"Arc ({s}, {t}) restriction uses a node not present in "
                     "the graph."
                 )
+        # arc in blacklist and whitelist -> raise (operators.cpp:31 via
+        # util::validate_restrictions, validate_whitelists.hpp:170-175)
+        conflicts = set(map(tuple, self._whitelist)) & set(
+            map(tuple, self._blacklist)
+        )
+        if conflicts:
+            s, t = sorted(conflicts)[0]
+            raise ValueError(f"Arc {s} -> {t} in blacklist and whitelist")
         for (s, t) in self._whitelist:
             self.valid_op[self._spos[s], self._tpos[t]] = False
             if s in self._tpos and t in self._spos:
