@@ -39,6 +39,19 @@ class KMutualInformation(IndependenceTest):
         self.samples = int(samples)
         cols = self.df.column_names()
         mat = self.df.to_numpy(cols, drop_null=False, dtype=np.float64)
+        # the reference ranks raw_values with no null handling
+        # (mutual_information.hpp:29-38) — undefined on null data. Here null
+        # rows are DROPPED before ranking (listwise): np.argsort would
+        # otherwise rank NaNs as extreme values and silently bias the CMI
+        # estimate.
+        complete = ~np.isnan(mat).any(axis=1)
+        if not complete.all():
+            mat = mat[complete]
+        if len(mat) <= self.k:
+            raise ValueError(
+                "KMutualInformation requires more complete rows than k "
+                f"(have {len(mat)}, k={self.k})."
+            )
         self._ranked = rank_data(mat)
         self._pos = {c: i for i, c in enumerate(cols)}
 
