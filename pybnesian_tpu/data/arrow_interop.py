@@ -10,7 +10,14 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["pa", "np_to_pa_type", "dictionary_type", "column_pa_type", "column_to_pa"]
+__all__ = [
+    "pa",
+    "np_to_pa_type",
+    "dictionary_type",
+    "column_pa_type",
+    "column_to_pa",
+    "column_from_pa",
+]
 
 import pyarrow as pa
 
@@ -38,6 +45,50 @@ def column_pa_type(col) -> "pa.DataType":
     if col.is_discrete:
         return dictionary_type(len(col.categories))
     return np_to_pa_type(col.values.dtype)
+
+
+def column_from_pa(name: str, arr):
+    """pyarrow Array/ChunkedArray → data.Column without a pandas round trip
+    (the reference imports Arrow data through the PyCapsule C data interface,
+    util/arrow_types.cpp; this is the numpy-substrate analogue). Null-free
+    numeric arrays are ZERO-COPY views of the Arrow buffers."""
+    from .dataframe import Column
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    ty = arr.type
+    if pa.types.is_dictionary(ty):
+        indices = arr.indices
+        codes = np.asarray(
+            indices.fill_null(-1).to_numpy(zero_copy_only=False),
+            dtype=np.int32,
+        )
+        cats = tuple(str(c) for c in arr.dictionary.to_pylist())
+        return Column(name, codes, cats)
+    if pa.types.is_string(ty) or pa.types.is_large_string(ty):
+        return column_from_pa(name, arr.dictionary_encode())
+    if pa.types.is_boolean(ty):
+        return column_from_pa(
+            name, arr.cast(pa.string()).dictionary_encode()
+        )
+    if pa.types.is_floating(ty):
+        if arr.null_count == 0:
+            vals = arr.to_numpy(zero_copy_only=True)
+        else:
+            vals = arr.to_numpy(zero_copy_only=False)  # nulls -> NaN
+        if vals.dtype == np.float16:
+            vals = vals.astype(np.float32)
+        return Column(name, vals)
+    if pa.types.is_integer(ty):
+        if arr.null_count == 0:
+            return Column(
+                name, arr.to_numpy(zero_copy_only=True).astype(np.int64)
+            )
+        # nullable ints cannot stay integral on the numpy substrate
+        return Column(
+            name, arr.cast(pa.float64()).to_numpy(zero_copy_only=False)
+        )
+    raise TypeError(f"Unsupported Arrow type {ty} for column '{name}'")
 
 
 def column_to_pa(col) -> "pa.Array":

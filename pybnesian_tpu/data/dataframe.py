@@ -136,10 +136,38 @@ class DataFrame:
             return DataFrame.from_pandas(obj)
         if isinstance(obj, dict):
             return DataFrame([_column_from_object(k, v) for k, v in obj.items()])
-        # pyarrow RecordBatch / Table duck-typing
+        # anything speaking the Arrow PyCapsule C data interface — pyarrow
+        # RecordBatch/Table, polars, duckdb results, ... (reference
+        # util/arrow_types.cpp, CHANGELOG v0.5.0)
+        if hasattr(obj, "__arrow_c_stream__") or hasattr(
+            obj, "__arrow_c_array__"
+        ):
+            return DataFrame.from_arrow(obj)
         if hasattr(obj, "to_pandas"):
             return DataFrame.from_pandas(obj.to_pandas())
         raise TypeError(f"Cannot interpret {type(obj)!r} as DataFrame")
+
+    @staticmethod
+    def from_arrow(obj) -> "DataFrame":
+        """Ingest via the Arrow PyCapsule interface without a pandas round
+        trip; null-free numeric columns are zero-copy views of the Arrow
+        buffers (reference util/arrow_types.cpp)."""
+        from .arrow_interop import column_from_pa, pa
+
+        if isinstance(obj, pa.RecordBatch):
+            table = pa.Table.from_batches([obj])
+        elif isinstance(obj, pa.Table):
+            table = obj
+        elif hasattr(obj, "__arrow_c_stream__"):
+            table = pa.table(obj)
+        else:  # __arrow_c_array__
+            table = pa.Table.from_batches([pa.record_batch(obj)])
+        return DataFrame(
+            [
+                column_from_pa(str(name), table.column(i))
+                for i, name in enumerate(table.column_names)
+            ]
+        )
 
     @staticmethod
     def from_pandas(df) -> "DataFrame":
@@ -362,6 +390,30 @@ class DataFrame:
     def cardinality(self, name: str) -> int:
         return len(self.categories(name))
 
+    def min(self, name: str):
+        """Null-skipping column minimum (reference dataset.hpp:111-129:
+        +inf when every row is null)."""
+        c = self.col(name)
+        if c.is_discrete:
+            raise ValueError(f"Column '{name}' is discrete; min is undefined")
+        vals = c.values
+        if np.issubdtype(vals.dtype, np.floating):
+            out = np.fmin.reduce(vals, initial=np.inf)
+            return vals.dtype.type(out)
+        return vals.min()
+
+    def max(self, name: str):
+        """Null-skipping column maximum (reference dataset.hpp:137-155:
+        -inf when every row is null)."""
+        c = self.col(name)
+        if c.is_discrete:
+            raise ValueError(f"Column '{name}' is discrete; max is undefined")
+        vals = c.values
+        if np.issubdtype(vals.dtype, np.floating):
+            out = np.fmax.reduce(vals, initial=-np.inf)
+            return vals.dtype.type(out)
+        return vals.max()
+
     # statistics used by BGe / LinearCorrelation (reference dataset.hpp:167-495)
     def means(self, cols: Sequence[str] | None = None) -> np.ndarray:
         mat = self.to_numpy(cols, drop_null=True, dtype=np.float64)
@@ -459,6 +511,14 @@ class DataFrame:
         from .arrow_interop import pa
 
         return pa.RecordBatch.from_arrays(self.columns, schema=self.schema)
+
+    def __arrow_c_stream__(self, requested_schema=None):
+        """Arrow PyCapsule export — lets any Arrow consumer (pyarrow, polars,
+        duckdb) read this table without copies of the column buffers."""
+        return self.record_batch().__arrow_c_stream__(requested_schema)
+
+    def __arrow_c_array__(self, requested_schema=None):
+        return self.record_batch().__arrow_c_array__(requested_schema)
 
     def equals(self, other) -> bool:
         """Structural equality: same names, types, categories and values, with
