@@ -89,6 +89,57 @@ def bench_ours(df, fams, k=10):
     return len(fams) / elapsed, warmup, warm_total
 
 
+def bench_baseline_faithful(df, fams, k=10, max_fams=4):
+    """Vectorized numpy implementation of the reference's EXACT kernel
+    sequence (kde/KDE.hpp:592-640 + CKDE.hpp:202-254), per (family, fold):
+    normal-reference bandwidth from the train covariance, Cholesky,
+    triangular-solve whitening, pairwise subtract/square distances,
+    logsumexp — joint and marginal — then the conditional subtraction. This
+    is a much closer stand-in for the reference's OpenCL pipeline than
+    scipy.gaussian_kde (same math, numpy's vectorized C loops standing in
+    for the GPU kernels)."""
+    from scipy.linalg import solve_triangular
+    from scipy.special import logsumexp
+
+    n = len(df)
+    rng = np.random.default_rng(0)
+    idx = rng.permutation(n)
+    folds = np.array_split(idx, k)
+    sub = fams[:max_fams]
+
+    def kde_logl(train, test):
+        nt, d = train.shape
+        kfac = (4.0 / (nt * (d + 2.0))) ** (2.0 / (d + 4.0))
+        H = kfac * np.cov(train, rowvar=False, ddof=1).reshape(d, d)
+        L = np.linalg.cholesky(H)
+        tw = solve_triangular(L, train.T, lower=True).T
+        sw = solve_triangular(L, test.T, lower=True).T
+        diff = sw[:, None, :] - tw[None, :, :]
+        d2 = np.einsum("mnd,mnd->mn", diff, diff)
+        lognorm = (
+            -np.sum(np.log(np.diag(L)))
+            - 0.5 * d * np.log(2 * np.pi)
+            - np.log(nt)
+        )
+        return logsumexp(-0.5 * d2, axis=1) + lognorm
+
+    t0 = time.time()
+    for v, ps in sub:
+        cols = [v, *ps]
+        mat = df[cols].to_numpy().astype(np.float64)
+        for f in range(k):
+            test_idx = folds[f]
+            train_idx = np.concatenate([folds[j] for j in range(k) if j != f])
+            train = mat[train_idx]
+            test = mat[test_idx]
+            ll = kde_logl(train, test)
+            if ps:
+                ll = ll - kde_logl(train[:, 1:], test[:, 1:])
+            float(ll.sum())
+    elapsed = time.time() - t0
+    return len(sub) / elapsed
+
+
 def bench_baseline(df, fams, k=10, max_fams=4):
     """Reference-style serial loop: scipy gaussian_kde per (family, fold)."""
     from scipy.stats import gaussian_kde
@@ -117,20 +168,46 @@ def bench_baseline(df, fams, k=10, max_fams=4):
     return len(sub) / elapsed
 
 
+def assert_kernel_parity():
+    """Every bench round proves which kernel ran and that it is numerically
+    right on the real hardware: on TPU the Pallas flash kernel must agree
+    with the XLA fused kernel (the scoring path refuses to use an unverified
+    flash kernel — learning/scores/likelihood.py _flash_cv_usable)."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return "cpu"
+    from pybnesian_tpu.ops.kde import flash_cv_selfcheck
+
+    ok, diff = flash_cv_selfcheck()
+    if not ok:
+        raise AssertionError(
+            f"flash/XLA CV kernel parity check failed (max abs diff {diff})"
+        )
+    return "flash"
+
+
 def main():
     df = make_data()
     fams = families(df.shape[1])
 
+    assert_kernel_parity()
     ours_rate, warmup, total = bench_ours(df, fams)
-    base_rate = bench_baseline(df, fams)
+    faithful_rate = bench_baseline_faithful(df, fams)
+    scipy_rate = bench_baseline(df, fams)
 
+    # vs_baseline is measured against the FAITHFUL numpy port of the
+    # reference's exact kernel sequence (the stricter of the two stand-ins);
+    # the scipy ratio is reported alongside for continuity with rounds 1-2.
     print(
         json.dumps(
             {
                 "metric": "cvlik_ckde_family_scores_per_s_10k_rows",
                 "value": round(ours_rate, 3),
                 "unit": "family-scores/s (10-fold CV, 10k rows)",
-                "vs_baseline": round(ours_rate / base_rate, 2),
+                "vs_baseline": round(ours_rate / faithful_rate, 2),
+                "vs_scipy_kde": round(ours_rate / scipy_rate, 2),
+                "baseline_family_scores_per_s": round(faithful_rate, 3),
             }
         )
     )

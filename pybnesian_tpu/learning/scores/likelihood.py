@@ -37,31 +37,68 @@ def _next_pow2(x: int, floor: int = 1) -> int:
     return n
 
 
-_FLASH_CV_BROKEN = False
+# None = not yet verified on this backend; True = flash passed its numeric
+# parity gate and is in use; False = fell back to the XLA kernel (warned).
+_FLASH_CV_STATE: bool | None = None
+
+
+def _flash_cv_usable() -> bool:
+    """One-time verified gate for the Pallas flash kernel: at first TPU use,
+    run flash vs the XLA fused kernel on a small batch and require numeric
+    agreement. A miscompiling or drifting flash kernel now WARNS and falls
+    back instead of silently degrading (or worse, silently being wrong)."""
+    global _FLASH_CV_STATE
+    if _FLASH_CV_STATE is None:
+        import warnings
+
+        from ...ops.kde import flash_cv_selfcheck
+
+        try:
+            ok, diff = flash_cv_selfcheck()
+        except Exception as exc:  # pragma: no cover - toolchain specific
+            ok, diff = False, exc
+        if not ok:
+            warnings.warn(
+                "Pallas flash CV kernel failed its parity self-check "
+                f"({diff}); falling back to the XLA fused kernel.",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+        _FLASH_CV_STATE = ok
+    return _FLASH_CV_STATE
 
 
 def _fused_cv_scores(data, null_mask, col_idx, col_mask, tr_idx, tr_mask,
                      te_idx, te_mask, chunk, rule):
     """Route a fused CV-CKDE batch to the Pallas flash kernel on TPU
-    (streaming double logsumexp, no pair matrix in HBM) with transparent
+    (streaming double logsumexp, no pair matrix in HBM) with a VERIFIED
     fallback to the XLA fused kernel elsewhere or on any Pallas failure."""
-    global _FLASH_CV_BROKEN
+    global _FLASH_CV_STATE
     import jax
 
     from ...ops.kde import ckde_cv_alldevice, ckde_cv_alldevice_flash
 
     if (
-        not _FLASH_CV_BROKEN
-        and jax.default_backend() == "tpu"
+        jax.default_backend() == "tpu"
         and np.asarray(data).dtype == np.float32
+        and _flash_cv_usable()
     ):
         try:
             return ckde_cv_alldevice_flash(
                 data, null_mask, col_idx, col_mask, tr_idx, tr_mask,
                 te_idx, te_mask, rule=rule,
             )
-        except Exception:  # pragma: no cover - device/toolchain specific
-            _FLASH_CV_BROKEN = True
+        except Exception as exc:  # pragma: no cover - device/toolchain
+            import warnings
+
+            warnings.warn(
+                f"Pallas flash CV kernel failed at batch shape "
+                f"{tuple(np.asarray(col_idx).shape)} ({exc}); falling back "
+                "to the XLA fused kernel.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            _FLASH_CV_STATE = False
     return ckde_cv_alldevice(
         data, null_mask, col_idx, col_mask, tr_idx, tr_mask, te_idx,
         te_mask, chunk=chunk, rule=rule,

@@ -399,6 +399,50 @@ def _flash_reduce(out, wte, lndiff, ok):
     return jnp.sum(fold_ll, axis=1)
 
 
+def flash_cv_selfcheck(rule: str = "nr", atol: float = 5e-2,
+                       rtol: float = 1e-4, interpret: bool = False):
+    """One-time parity gate for the Pallas flash CV kernel: run
+    :func:`ckde_cv_alldevice_flash` and :func:`ckde_cv_alldevice` on the same
+    small synthetic batch and compare. Returns ``(ok, max_abs_diff)``;
+    raises whatever the flash path raises if it cannot run at all.
+
+    The tolerance is on SUMMED fold log-likelihoods over 256 test points
+    (values O(1e3)), so atol=5e-2 is ~1e-5 relative — far tighter than any
+    miscompiled kernel would pass, loose enough for f32 accumulation-order
+    differences between the two implementations."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    n, D = 512, 3
+    data = jnp.asarray(rng.normal(size=(n, D)).astype(np.float32))
+    null_mask = jnp.zeros((n, D), jnp.float32)
+    col_idx = jnp.asarray([[0, 1, 0], [2, 0, 1]], jnp.int32)
+    col_mask = jnp.asarray([[1, 1, 0], [1, 1, 1]], jnp.float32)
+    K, ntr, nte = 2, 256, 256
+    tr_idx = jnp.asarray(
+        np.stack([np.arange(ntr), np.arange(n - ntr, n)]).astype(np.int32)
+    )
+    tr_mask = jnp.ones((K, ntr), jnp.float32)
+    te_idx = jnp.asarray(
+        np.stack([np.arange(n - nte, n), np.arange(nte)]).astype(np.int32)
+    )
+    te_mask = jnp.ones((K, nte), jnp.float32)
+    args = (data, null_mask, col_idx, col_mask, tr_idx, tr_mask, te_idx,
+            te_mask)
+    flash = np.asarray(
+        ckde_cv_alldevice_flash(*args, rule=rule, interpret=interpret),
+        np.float64,
+    )
+    xla = np.asarray(ckde_cv_alldevice(*args, chunk=256, rule=rule),
+                     np.float64)
+    diff = float(np.max(np.abs(flash - xla)))
+    ok = bool(
+        np.all(np.isfinite(flash))
+        and np.allclose(flash, xla, atol=atol, rtol=rtol)
+    )
+    return ok, diff
+
+
 @partial(jax.jit, static_argnames=("chunk",))
 def batched_ckde_cv_slogl(joint_tr, joint_te, marg_tr, marg_te, tr_mask,
                           te_mask, joint_ln, marg_ln, chunk=256):

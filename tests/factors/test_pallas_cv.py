@@ -70,3 +70,26 @@ def test_flash_wider_family(seed=1):
                                 interpret=True)
     )
     np.testing.assert_allclose(out, ref, rtol=5e-4, atol=5e-3)
+
+
+def test_flash_selfcheck_interpret():
+    """The one-time parity gate used by the scoring path and bench.py
+    (flash_cv_selfcheck) passes in interpret mode on CPU."""
+    from pybnesian_tpu.ops.kde import flash_cv_selfcheck
+
+    ok, diff = flash_cv_selfcheck(interpret=True)
+    assert ok, f"selfcheck diff {diff}"
+    assert diff < 5e-2
+
+
+def test_flash_fallback_state_gates_by_backend(monkeypatch):
+    """On a non-TPU backend the scoring path never consults the flash gate
+    (uses the XLA kernel) and the verified-state flag stays untouched."""
+    import pybnesian_tpu.learning.scores.likelihood as lik
+
+    monkeypatch.setattr(lik, "_FLASH_CV_STATE", None)
+    args = _setup()
+    out = np.asarray(lik._fused_cv_scores(*args, chunk=256, rule="nr"))
+    ref = np.asarray(ckde_cv_alldevice(*args, chunk=256, rule="nr"))
+    np.testing.assert_allclose(out, ref, rtol=1e-6)
+    assert lik._FLASH_CV_STATE is None  # gate not consulted off-TPU
