@@ -7,6 +7,7 @@ from .config import (
     trace,
 )
 from .checkpoint import load_pytree, nuts_checkpointed, save_pytree
+from . import distributed
 
 __all__ = [
     "RuntimeConfig",
@@ -18,4 +19,5 @@ __all__ = [
     "save_pytree",
     "load_pytree",
     "nuts_checkpointed",
+    "distributed",
 ]
