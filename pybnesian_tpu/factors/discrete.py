@@ -226,30 +226,34 @@ class DiscreteFactor(Factor):
         else:
             header = f"[DiscreteFactor] P({v})"
         if not self._fitted:
-            return header + " not fitted"
+            return header + " not fitted."
+        from ..utils.tables import char_table
+
         cats = self._categories[self._variable]
         k = len(cats)
         prob = np.exp(self._logprob).reshape(-1, k)
-        lines = [header]
         if self._evidence:
             ev_cards = [len(self._categories[e]) for e in self._evidence]
+            rows = []
             for cfg in range(prob.shape[0]):
                 rem = cfg
                 assignment = []
                 for e, card in zip(self._evidence, ev_cards):
-                    assignment.append(f"{e}={self._categories[e][rem % card]}")
+                    assignment.append(str(self._categories[e][rem % card]))
                     rem //= card
-                row = ", ".join(
-                    f"P({c})={p:.4f}" for c, p in zip(cats, prob[cfg])
-                )
-                lines.append("  [" + ", ".join(assignment) + "] " + row)
-        else:
-            lines.append(
-                "  " + ", ".join(
-                    f"P({c})={p:.4f}" for c, p in zip(cats, prob[0])
-                )
+                rows.append(assignment + [f"{p:.3g}" for p in prob[cfg]])
+            table = char_table(
+                [("", len(self._evidence)), (v, k)],
+                list(self._evidence) + [str(c) for c in cats],
+                rows,
             )
-        return "\n".join(lines)
+        else:
+            table = char_table(
+                [(v, k)],
+                [str(c) for c in cats],
+                [[f"{p:.3g}" for p in prob[0]]],
+            )
+        return header + "\n" + table
 
     # --------------------------------------------------------------- pickle
     def __getstate__(self):

@@ -268,15 +268,30 @@ class DiscreteAdaptator(Factor):
         else:
             header = f"[{self._name}] P({v})"
         if not self._fitted:
-            return header + " not fitted"
+            return header + " not fitted."
         if self._discrete_evidence:
-            lines = [header]
+            # per-assignment sub-factor table
+            # (reference DiscreteAdaptator.hpp:374-410, libfort char_table)
+            from ..utils.tables import char_table
+
+            varname = v
+            if self._continuous_evidence:
+                varname = f"{v} | " + ", ".join(self._continuous_evidence)
+            rows = []
             for c, f in enumerate(self._factors):
                 assignment = self._assignment_from_config(c)
-                inner = "unfitted" if f is None else str(f)
-                lines.append(f"  {assignment} -> {inner}")
-            return "\n".join(lines)
-        return header
+                cells = [
+                    str(assignment.value(e)) for e in self._discrete_evidence
+                ]
+                cells.append("not fitted" if f is None else f.ToString())
+                rows.append(cells)
+            table = char_table(
+                [("", len(self._discrete_evidence)), (varname, 1)],
+                list(self._discrete_evidence) + [""],
+                rows,
+            )
+            return header + "\n" + table
+        return header + " = " + self._factors[0].ToString()
 
     # --------------------------------------------------------------- pickle
     def __getstate__(self):
