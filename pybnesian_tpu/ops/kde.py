@@ -380,12 +380,21 @@ def ckde_cv_alldevice_flash(data, null_mask, col_idx, col_mask, tr_idx,
         neg = jnp.pad(neg, ((0, 0), (0, 0), (0, pad_n)),
                       constant_values=-jnp.inf)
         zv_tr = jnp.pad(zv_tr, ((0, 0), (0, 0), (0, pad_n)))
+    # evidence-free families: the marginal logsumexp is exactly log n_eff —
+    # flag them so the kernel skips the whole marginal pass
+    no_ev = jnp.broadcast_to(
+        (jnp.sum(col_mask, axis=1) <= 1.0)[:, None], (F, K)
+    ).astype(jnp.float32)
+    n_eff = jnp.sum((neg == 0.0).astype(jnp.float32), axis=2)  # (F, K)
+    lm_const = jnp.log(jnp.maximum(n_eff, 1.0))
     out = pallas_ckde_cv_pairs(
         jtr.reshape(F * K, -1, dpad).astype(jnp.float32),
         neg.reshape(F * K, -1).astype(jnp.float32),
         zv_tr.reshape(F * K, -1).astype(jnp.float32),
         jte.reshape(F * K, nte, dpad).astype(jnp.float32),
         zv_te.reshape(F * K, nte).astype(jnp.float32),
+        no_ev.reshape(F * K),
+        lm_const.reshape(F * K),
         block_m=block_m, block_n=block_n, interpret=interpret,
     ).reshape(F, K, nte)
     return _flash_reduce(out, wte, lndiff, ok)
@@ -416,8 +425,10 @@ def flash_cv_selfcheck(rule: str = "nr", atol: float = 5e-2,
     n, D = 512, 3
     data = jnp.asarray(rng.normal(size=(n, D)).astype(np.float32))
     null_mask = jnp.zeros((n, D), jnp.float32)
-    col_idx = jnp.asarray([[0, 1, 0], [2, 0, 1]], jnp.int32)
-    col_mask = jnp.asarray([[1, 1, 0], [1, 1, 1]], jnp.float32)
+    # family 0 is evidence-free (1-D): covers the flash kernel's
+    # marginal-skip branch; family 1 is 3-D
+    col_idx = jnp.asarray([[0, 0, 0], [2, 0, 1]], jnp.int32)
+    col_mask = jnp.asarray([[1, 0, 0], [1, 1, 1]], jnp.float32)
     K, ntr, nte = 2, 256, 256
     tr_idx = jnp.asarray(
         np.stack([np.arange(ntr), np.arange(n - ntr, n)]).astype(np.int32)

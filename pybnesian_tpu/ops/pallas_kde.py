@@ -74,8 +74,8 @@ except ImportError:  # pragma: no cover
     pltpu = None
 
 
-def _ckde_cv_kernel(jtr_ref, neg_ref, zvtr_ref, jte_ref, zvte_ref, out_ref,
-                    *, block_n: int, dpad: int):
+def _ckde_cv_kernel(flag_ref, lmc_ref, jtr_ref, neg_ref, zvtr_ref, jte_ref,
+                    zvte_ref, out_ref, *, block_n: int, dpad: int):
     """One grid step: all train blocks against one test block of one
     (family, fold) pair, with BOTH the joint and the marginal online
     logsumexp in a single pass — the (nte × ntr) pair matrix never leaves
@@ -97,48 +97,62 @@ def _ckde_cv_kernel(jtr_ref, neg_ref, zvtr_ref, jte_ref, zvte_ref, out_ref,
 
     test_aug = jte_ref[0]      # (block_m, dpad+2)
     zte = zvte_ref[0, :, 0]    # (block_m,)
+    # evidence-free family: the marginal logsumexp is the constant
+    # log n_eff (all marginal logits are 0 for valid train rows), so the
+    # whole marginal online-logsumexp — ~40% of the VPU work — is skipped
+    no_ev = flag_ref[0, 0] > 0.5
 
     def body(nb, carry):
         mj, sj, mm, sm = carry
         tb = jtr_ref[0, :, pl.ds(nb * block_n, block_n)]    # (dpad+2, block_n)
         ng = neg_ref[0, 0, pl.ds(nb * block_n, block_n)]    # (block_n,)
-        ztb = zvtr_ref[0, 0, pl.ds(nb * block_n, block_n)]  # (block_n,)
         d2 = jax.lax.dot_general(
             test_aug, tb, (((1,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )
         lj = -0.5 * d2 + ng[None, :]
-        vd = zte[:, None] - ztb[None, :]
-        lm = lj + 0.5 * vd * vd
 
         bmj = jnp.max(lj, axis=1, keepdims=True)
         new_mj = jnp.maximum(mj, bmj)
         sj = sj * jnp.exp(mj - new_mj) + jnp.sum(
             jnp.exp(lj - new_mj), axis=1, keepdims=True
         )
-        bmm = jnp.max(lm, axis=1, keepdims=True)
-        new_mm = jnp.maximum(mm, bmm)
-        sm = sm * jnp.exp(mm - new_mm) + jnp.sum(
-            jnp.exp(lm - new_mm), axis=1, keepdims=True
-        )
-        return new_mj, sj, new_mm, sm
+
+        def marg(carry_m):
+            mm_, sm_ = carry_m
+            ztb = zvtr_ref[0, 0, pl.ds(nb * block_n, block_n)]
+            vd = zte[:, None] - ztb[None, :]
+            lm = lj + 0.5 * vd * vd
+            bmm = jnp.max(lm, axis=1, keepdims=True)
+            new_mm = jnp.maximum(mm_, bmm)
+            sm_ = sm_ * jnp.exp(mm_ - new_mm) + jnp.sum(
+                jnp.exp(lm - new_mm), axis=1, keepdims=True
+            )
+            return new_mm, sm_
+
+        mm, sm = jax.lax.cond(no_ev, lambda c: c, marg, (mm, sm))
+        return new_mj, sj, mm, sm
 
     # finite very-negative init: keeps all-padding blocks NaN-free
     m0 = jnp.full((block_m, 1), -1e30, jnp.float32)
     s0 = jnp.zeros((block_m, 1), jnp.float32)
     mj, sj, mm, sm = jax.lax.fori_loop(0, n_blocks, body, (m0, s0, m0, s0))
-    out_ref[0] = (mj + jnp.log(sj)) - (mm + jnp.log(sm))
+    lse_m = jnp.where(no_ev, lmc_ref[0, 0], mm + jnp.log(sm))
+    out_ref[0] = (mj + jnp.log(sj)) - lse_m
 
 
 @partial(jax.jit, static_argnames=("block_m", "block_n", "interpret"))
-def pallas_ckde_cv_pairs(jtr, neg, zv_tr, jte, zv_te,
-                         block_m: int = 256, block_n: int = 1024,
-                         interpret: bool = False):
+def pallas_ckde_cv_pairs(jtr, neg, zv_tr, jte, zv_te, no_ev=None,
+                         lm_const=None, block_m: int = 256,
+                         block_n: int = 1024, interpret: bool = False):
     """(G, nte) per-test-point ``logsumexp_joint − logsumexp_marg`` (without
     lognorm constants) for G = F·K (family, fold) pairs. jtr: (G, ntr, dpad)
     whitened train with ntr a multiple of ``block_n``; neg/zv_tr: (G, ntr);
     jte: (G, nte, dpad) with nte a multiple of ``block_m``; zv_te: (G, nte).
+    ``no_ev``: optional (G,) flag marking evidence-free (1-D) families whose
+    marginal logsumexp is the constant ``lm_const[g]`` (= log n_eff) — the
+    kernel skips the whole marginal pass for those programs.
     All float32. Train-side arrays are fed transposed (ntr in lanes) and
     both sides augmented for the single-matmul distance; test vectors travel
     as (G, nte, 1) — every block then satisfies the Mosaic last-two-dims
@@ -146,6 +160,10 @@ def pallas_ckde_cv_pairs(jtr, neg, zv_tr, jte, zv_te,
     G, ntr, dpad = jtr.shape
     nte = jte.shape[1]
     grid = (G, nte // block_m)
+    if no_ev is None:
+        no_ev = jnp.zeros((G,), jnp.float32)
+    if lm_const is None:
+        lm_const = jnp.zeros((G,), jnp.float32)
     # augmented operands: d2 = [-2·te, ‖te‖², 1] @ [tr; 1; ‖tr‖²]
     jn_tr = jnp.sum(jnp.square(jtr), axis=2)              # (G, ntr)
     taug = jnp.concatenate(
@@ -166,6 +184,10 @@ def pallas_ckde_cv_pairs(jtr, neg, zv_tr, jte, zv_te,
         partial(_ckde_cv_kernel, block_n=block_n, dpad=dpad),
         grid=grid,
         in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, daug, ntr), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, ntr), lambda i, j: (i, 0, 0),
@@ -182,6 +204,8 @@ def pallas_ckde_cv_pairs(jtr, neg, zv_tr, jte, zv_te,
         out_shape=jax.ShapeDtypeStruct((G, nte, 1), jnp.float32),
         interpret=interpret,
     )(
+        no_ev.reshape(G, 1).astype(jnp.float32),
+        lm_const.reshape(G, 1).astype(jnp.float32),
         taug,
         neg[:, None, :],
         zv_tr[:, None, :],
