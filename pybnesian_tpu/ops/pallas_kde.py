@@ -99,8 +99,11 @@ def _ckde_cv_kernel(flag_ref, lmc_ref, jtr_ref, neg_ref, zvtr_ref, jte_ref,
     zte = zvte_ref[0, :, 0]    # (block_m,)
     # evidence-free family: the marginal logsumexp is the constant
     # log n_eff (all marginal logits are 0 for valid train rows), so the
-    # whole marginal online-logsumexp — ~40% of the VPU work — is skipped
-    no_ev = flag_ref[0, 0] > 0.5
+    # whole marginal online-logsumexp — ~40% of the VPU work — is skipped.
+    # flag/lmc arrive as WHOLE (G, 1) SMEM arrays (Mosaic's last-two-dims
+    # rule forbids (1, 1) blocks), indexed by this program's family id.
+    g = pl.program_id(0)
+    no_ev = flag_ref[g, 0] > 0.5
 
     def body(nb, carry):
         mj, sj, mm, sm = carry
@@ -138,7 +141,7 @@ def _ckde_cv_kernel(flag_ref, lmc_ref, jtr_ref, neg_ref, zvtr_ref, jte_ref,
     m0 = jnp.full((block_m, 1), -1e30, jnp.float32)
     s0 = jnp.zeros((block_m, 1), jnp.float32)
     mj, sj, mm, sm = jax.lax.fori_loop(0, n_blocks, body, (m0, s0, m0, s0))
-    lse_m = jnp.where(no_ev, lmc_ref[0, 0], mm + jnp.log(sm))
+    lse_m = jnp.where(no_ev, lmc_ref[g, 0], mm + jnp.log(sm))
     out_ref[0] = (mj + jnp.log(sj)) - lse_m
 
 
@@ -184,9 +187,9 @@ def pallas_ckde_cv_pairs(jtr, neg, zv_tr, jte, zv_te, no_ev=None,
         partial(_ckde_cv_kernel, block_n=block_n, dpad=dpad),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i, j: (i, 0),
+            pl.BlockSpec((G, 1), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i, j: (i, 0),
+            pl.BlockSpec((G, 1), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, daug, ntr), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
