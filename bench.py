@@ -114,8 +114,13 @@ def bench_baseline_faithful(df, fams, k=10, max_fams=4):
         L = np.linalg.cholesky(H)
         tw = solve_triangular(L, train.T, lower=True).T
         sw = solve_triangular(L, test.T, lower=True).T
-        diff = sw[:, None, :] - tw[None, :, :]
-        d2 = np.einsum("mnd,mnd->mn", diff, diff)
+        # pairwise d² via the matmul identity (one BLAS gemm) — the fastest
+        # CPU form of the reference's subtract/square kernel sequence
+        d2 = (
+            np.sum(sw * sw, axis=1)[:, None]
+            - 2.0 * (sw @ tw.T)
+            + np.sum(tw * tw, axis=1)[None, :]
+        )
         lognorm = (
             -np.sum(np.log(np.diag(L)))
             - 0.5 * d * np.log(2 * np.pi)
@@ -196,18 +201,20 @@ def main():
     faithful_rate = bench_baseline_faithful(df, fams)
     scipy_rate = bench_baseline(df, fams)
 
-    # vs_baseline is measured against the FAITHFUL numpy port of the
-    # reference's exact kernel sequence (the stricter of the two stand-ins);
-    # the scipy ratio is reported alongside for continuity with rounds 1-2.
+    # vs_baseline is measured against the STRICTER (faster) of the two
+    # serial stand-ins for the reference's OpenCL pipeline: a faithful
+    # vectorized numpy port of its exact kernel sequence, and
+    # scipy.gaussian_kde. Both raw ratios are reported.
+    best_base = max(faithful_rate, scipy_rate)
     print(
         json.dumps(
             {
                 "metric": "cvlik_ckde_family_scores_per_s_10k_rows",
                 "value": round(ours_rate, 3),
                 "unit": "family-scores/s (10-fold CV, 10k rows)",
-                "vs_baseline": round(ours_rate / faithful_rate, 2),
+                "vs_baseline": round(ours_rate / best_base, 2),
+                "vs_faithful_numpy": round(ours_rate / faithful_rate, 2),
                 "vs_scipy_kde": round(ours_rate / scipy_rate, 2),
-                "baseline_family_scores_per_s": round(faithful_rate, 3),
             }
         )
     )

@@ -74,10 +74,55 @@ def timeit(fn, x, reps=3):
     return best
 
 
+def pallas_exp_chain_rate():
+    """Hardware exp throughput: a Pallas kernel that keeps one VMEM tile
+    resident and issues CHAIN dependent exps per element — no HBM traffic,
+    no XLA elementwise-chain overhead. This is the truest available measure
+    of the VPU transcendental rate."""
+    from functools import partial
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    CHAIN = 64
+    M, N = 512, 1024
+
+    def kern(x_ref, o_ref):
+        x = x_ref[...]
+        acc = jnp.zeros_like(x)
+        for _ in range(CHAIN):
+            acc = acc * 0.5 + jnp.exp(x - acc * 1e-3 - 1.0)
+        o_ref[...] = acc
+
+    @jax.jit
+    def run(x):
+        return pl.pallas_call(
+            kern,
+            grid=(64,),
+            in_specs=[pl.BlockSpec((M, N), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((M, N), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+        )(x)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(-np.abs(rng.normal(size=(M, N))).astype(np.float32))
+    np.asarray(run(x))
+    best = np.inf
+    for r in range(3):
+        t0 = time.time()
+        np.asarray(run(x + np.float32(r) * 1e-6))
+        best = min(best, time.time() - t0)
+    return M * N * CHAIN * 64 / best
+
+
 def flash_pairs_rate():
     from pybnesian_tpu.ops.pallas_kde import pallas_ckde_cv_pairs
 
-    G, ntr, nte, dpad = 16, 9216, 1024, 4
+    # G large enough to amortize the ~25-40 ms dispatch round trip of this
+    # environment's TPU tunnel — matches the bench launch (160 programs)
+    G, ntr, nte, dpad = 160, 9216, 1024, 4
     rng = np.random.default_rng(0)
     jtr = jnp.asarray(rng.normal(size=(G, ntr, dpad)).astype(np.float32))
     neg = jnp.zeros((G, ntr), jnp.float32)
@@ -102,19 +147,21 @@ def main():
     n_elem = SHAPE[0] * SHAPE[1] * ITERS
     t_exp = timeit(bare_exp_sum, x)
     t_lse = timeit(exp_logsumexp_shape, x)
+    hw_exp = pallas_exp_chain_rate()
     pairs = flash_pairs_rate()
     print(
         json.dumps(
             {
                 "metric": "tpu_exp_throughput",
-                "value": round(n_elem / t_exp / 1e9, 2),
-                "unit": "Gexp/s (bare exp+sum, f32)",
-                "vs_baseline": round((2 * pairs) / (n_elem / t_exp), 3),
+                "value": round(hw_exp / 1e9, 2),
+                "unit": "Gexp/s (Pallas in-register exp chain, f32)",
+                "vs_baseline": round((2 * pairs) / hw_exp, 3),
                 "detail": {
-                    "exp_sum_gexp_s": round(n_elem / t_exp / 1e9, 2),
-                    "logsumexp_gexp_s": round(n_elem / t_lse / 1e9, 2),
+                    "pallas_chain_gexp_s": round(hw_exp / 1e9, 2),
+                    "xla_exp_sum_gexp_s": round(n_elem / t_exp / 1e9, 2),
+                    "xla_logsumexp_gexp_s": round(n_elem / t_lse / 1e9, 2),
                     "flash_pairs_per_s_g": round(pairs / 1e9, 2),
-                    "flash_exps_per_s_g": round(2 * pairs / 1e9, 2),
+                    "flash_exps_per_s_g_upper": round(2 * pairs / 1e9, 2),
                 },
             }
         )

@@ -339,11 +339,17 @@ class _KFoldEngine:
                 djmax = _next_pow2(
                     max(len(fams[i][1]) + 1 for i in idxs), 2
                 )
-                # generous floor: fewer distinct compiled shapes matters more
-                # than wasted lanes (each shape costs an XLA compile) — but
-                # at large n the padded families' pairwise work dominates, so
-                # the floor shrinks
-                Fb = _next_pow2(F, 16 if self.df.num_rows <= 20_000 else 4)
+                # two-bucket family padding: {4, 16} at ≤20k rows (then
+                # pow2 beyond 16). Hill-climbing's update_scores batches are
+                # often 2-6 families; padding those to 16 wasted 3-5× of the
+                # dominant pairwise work, while capping the bucket set keeps
+                # the number of distinct compiled shapes at two for the
+                # common sizes (each distinct shape costs a slow remote XLA
+                # compile on this backend).
+                if self.df.num_rows <= 20_000:
+                    Fb = 4 if F <= 4 else _next_pow2(F, 16)
+                else:
+                    Fb = _next_pow2(F, 4)
                 col_idx = np.zeros((Fb, djmax), np.int32)
                 col_mask = np.zeros((Fb, djmax), dtype)
                 for f, i in enumerate(idxs):
