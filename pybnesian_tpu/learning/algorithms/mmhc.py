@@ -66,10 +66,21 @@ class MMHC:
                 "list."
             )
         bn = bn_type.new_bn(list(nodes))
-        arc_whitelist = list(arc_whitelist or [])
+        # normalize + cross-check the restriction lists before the skeleton
+        # search (reference mmhc.cpp:113-115)
+        from ...utils.validate import (
+            validate_restrictions,
+            validate_type_restrictions,
+        )
+
+        r = validate_restrictions(
+            bn, arc_blacklist, arc_whitelist, edge_blacklist, edge_whitelist
+        )
+        validate_type_restrictions(bn, type_blacklist, type_whitelist)
+        arc_whitelist = sorted(r.arc_whitelist)
         cpcs = mmpc_all_variables(
-            hypot_test, list(nodes), alpha, arc_whitelist, edge_blacklist,
-            edge_whitelist,
+            hypot_test, list(nodes), alpha, r.arc_whitelist,
+            r.edge_blacklist, r.edge_whitelist,
         )
         skeleton_blacklist = _hc_blacklist(nodes, cpcs)
         total_blacklist = list(arc_blacklist or []) + skeleton_blacklist
@@ -137,11 +148,20 @@ class MMHC:
         if nodes is None:
             raise ValueError("estimate_conditional requires nodes")
         bn = bn_type.new_cbn(list(nodes), interface_nodes)
-        arc_whitelist = list(arc_whitelist or [])
+        from ...utils.validate import (
+            validate_restrictions,
+            validate_type_restrictions,
+        )
+
+        r = validate_restrictions(
+            bn, arc_blacklist, arc_whitelist, edge_blacklist, edge_whitelist
+        )
+        validate_type_restrictions(bn, type_blacklist, type_whitelist)
+        arc_whitelist = sorted(r.arc_whitelist)
         all_names = list(nodes) + interface_nodes
         cpcs = mmpc_all_variables(
-            hypot_test, all_names, alpha, arc_whitelist, edge_blacklist,
-            edge_whitelist, interface_nodes=interface_nodes,
+            hypot_test, all_names, alpha, r.arc_whitelist, r.edge_blacklist,
+            r.edge_whitelist, interface_nodes=interface_nodes,
         )
         blacklist = []
         names = list(nodes)
