@@ -38,7 +38,7 @@ def make_data(n=1000, seed=1):
     return pd.DataFrame({"a": a, "b": b, "c": c, "d": d})
 
 
-def bench_ours(df, reps=20):
+def bench_ours(df, reps=60):
     from pybnesian_tpu import GaussianNetwork
 
     arcs = [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")]
@@ -57,7 +57,7 @@ def bench_ours(df, reps=20):
     return reps / (time.time() - t0)
 
 
-def bench_baseline(df, reps=20):
+def bench_baseline(df, reps=60):
     """Serial numpy: per-node lstsq fit, normal logpdf, ancestral sample."""
     from scipy.stats import norm
 
@@ -95,13 +95,21 @@ def bench_baseline(df, reps=20):
 
 def main():
     df = make_data()
-    ours = bench_ours(df)
-    base = bench_baseline(df)
+    # interleave ours/baseline rounds: this host is shared, so measuring
+    # the two at different moments makes the ratio noise-dominated; paired
+    # rounds + median ratio cancels the drift
+    ours_rates, ratios = [], []
+    for _ in range(5):
+        o = bench_ours(df, reps=25)
+        b = bench_baseline(df, reps=25)
+        ours_rates.append(o)
+        ratios.append(o / b)
+    ours = float(np.median(ours_rates))
     print(json.dumps({
         "metric": "config1_gaussian_fit_slogl_sample_pipelines_per_s",
         "value": round(ours, 2),
         "unit": "pipelines/s (4-node GBN, 1k rows)",
-        "vs_baseline": round(ours / base, 2),
+        "vs_baseline": round(float(np.median(ratios)), 2),
     }))
 
 

@@ -173,8 +173,15 @@ class DataFrame:
     def from_pandas(df) -> "DataFrame":
         # bulk fast path: homogeneous float frames convert with ONE
         # to_numpy instead of per-column pandas item access (the per-call
-        # conversion cost dominates small fit/logl pipelines)
-        dtypes = df.dtypes.to_numpy()
+        # conversion cost dominates small fit/logl pipelines). Block-level
+        # dtype probing avoids materializing the df.dtypes Series, which
+        # alone costs more than the whole conversion for small frames.
+        mgr = getattr(df, "_mgr", None)
+        blocks = getattr(mgr, "blocks", None)
+        if blocks is not None:
+            dtypes = [b.dtype for b in blocks]
+        else:
+            dtypes = df.dtypes.to_numpy()
         if len(dtypes) and all(d == np.float64 for d in dtypes):
             vals = df.to_numpy()
             return DataFrame(

@@ -19,6 +19,8 @@ from ..data import DataFrame
 from ..factors.base import Arguments, FactorType, UnknownFactorType
 from ..graph import ConditionalDag, Dag, NodeLookupError
 
+_LOG_2PI = math.log(2.0 * math.pi)
+
 __all__ = [
     "BayesianNetworkType",
     "BayesianNetworkBase",
@@ -419,6 +421,8 @@ class BayesianNetworkBase:
         self._check_data_compat(df)
         if not self._type.is_homogeneous():
             self.set_unknown_node_types(df)
+        if self._fit_lg_fast(df, args):
+            return
         for n in self._fit_nodes():
             node_type = self.underlying_node_type(df, n)
             evidence = self.parents(n)
@@ -430,6 +434,140 @@ class BayesianNetworkBase:
                 self._cpds[n] = cpd
             elif not cpd.fitted():
                 cpd.fit(df)
+
+    def _fit_lg_fast(self, df: DataFrame, args: Arguments) -> bool:
+        """All-LinearGaussian fit from ONE shared centered Gram matrix.
+
+        The per-node MLE ladder recomputes column extractions and inner
+        products per family; for a pure linear-Gaussian network on complete
+        data every normal-equation block is a sub-matrix of the single
+        d×d Gram, so the whole network fits in one O(n·d²) pass (same
+        closed forms as mle_lineargaussian, reference
+        mle_LinearGaussianCPD.hpp:12-230). Returns False — leaving the
+        generic per-node path to run — on: non-LG node types, per-node
+        construction args, nulls, too few rows, or any numerically
+        suspect family (singular/ill-conditioned parent block)."""
+        from ..factors.lineargaussian import (
+            LinearGaussianCPD,
+            LinearGaussianCPDType,
+        )
+        from ..learning.parameters import mle_lineargaussian
+        from ..utils import MACHINE_TOL
+
+        lg_t = LinearGaussianCPDType()
+        todo = []
+        max_k = 0
+        for n in self._fit_nodes():
+            if self.underlying_node_type(df, n) != lg_t:
+                return False
+            a, kw = args.args(n, lg_t)
+            if a or kw:
+                return False
+            evidence = self.parents(n)
+            cpd = self._cpds.get(n)
+            if self._must_construct_cpd(cpd, lg_t, evidence) or not cpd.fitted():
+                todo.append((n, evidence))
+                max_k = max(max_k, len(evidence))
+        if not todo:
+            return True
+        cols: list[str] = []
+        seen = set()
+        for n, evidence in todo:
+            for c in (n, *evidence):
+                if c not in seen:
+                    seen.add(c)
+                    cols.append(c)
+        try:
+            mat = df.to_numpy(cols, drop_null=False, dtype=np.float64)
+        except Exception:
+            return False
+        n_rows = len(mat)
+        if n_rows <= max_k + 1 or np.isnan(mat).any():
+            return False
+        idx = {c: i for i, c in enumerate(cols)}
+        means = mat.mean(axis=0)
+        xc = mat - means
+        gram = xc.T @ xc
+
+        fitted = []
+        for n, evidence in todo:
+            yi = idx[n]
+            k = len(evidence)
+            if k == 0:
+                beta = np.array([means[yi]])
+                variance = float(gram[yi, yi]) / (n_rows - 1)
+            else:
+                p = [idx[e] for e in evidence]
+                gy = gram[p, yi]
+                pvar_tol = (n_rows - 1) * MACHINE_TOL
+                if k == 1:
+                    v1 = gram[p[0], p[0]]
+                    if v1 < pvar_tol:
+                        fitted.append((n, evidence, None))
+                        continue
+                    b = gy / v1
+                elif k == 2:
+                    v1 = gram[p[0], p[0]]
+                    v2 = gram[p[1], p[1]]
+                    c12 = gram[p[0], p[1]]
+                    det = v1 * v2 - c12 * c12
+                    if (
+                        v1 < pvar_tol
+                        or v2 < pvar_tol
+                        or det <= 1e3 * MACHINE_TOL * v1 * v2
+                    ):
+                        fitted.append((n, evidence, None))
+                        continue
+                    b = np.array(
+                        [
+                            (v2 * gy[0] - c12 * gy[1]) / det,
+                            (v1 * gy[1] - c12 * gy[0]) / det,
+                        ]
+                    )
+                else:
+                    s = gram[np.ix_(p, p)]
+                    if np.any(np.diag(s) < pvar_tol):
+                        fitted.append((n, evidence, None))  # ladder handles it
+                        continue
+                    try:
+                        chol = np.linalg.cholesky(s)
+                    except np.linalg.LinAlgError:
+                        fitted.append((n, evidence, None))
+                        continue
+                    ldiag = np.diag(chol)
+                    # rcond proxy: collinear parent blocks make the smallest
+                    # Cholesky pivot collapse relative to the largest
+                    if (ldiag.min() / ldiag.max()) ** 2 < 1e3 * MACHINE_TOL:
+                        fitted.append((n, evidence, None))  # near-collinear
+                        continue
+                    from scipy.linalg import cho_solve
+
+                    b = cho_solve((chol, True), gy, check_finite=False)
+                    if not np.all(np.isfinite(b)):
+                        fitted.append((n, evidence, None))
+                        continue
+                rss = float(gram[yi, yi] - b @ gram[p, yi])
+                if not np.isfinite(rss) or rss < 0.0:
+                    fitted.append((n, evidence, None))
+                    continue
+                beta = np.concatenate(([means[yi] - b @ means[p]], b))
+                variance = rss / (n_rows - k - 1)
+            fitted.append((n, evidence, (beta, variance)))
+
+        for n, evidence, params in fitted:
+            cpd = self._cpds.get(n)
+            if self._must_construct_cpd(cpd, lg_t, evidence):
+                cpd = lg_t.new_factor(self, n, evidence)
+                self._cpds[n] = cpd
+            if params is None:
+                cpd.fit(df)
+                continue
+            beta, variance = params
+            assert isinstance(cpd, LinearGaussianCPD)
+            cpd._beta = beta
+            cpd._variance = variance
+            cpd._fitted = True
+        return True
 
     def _check_data_compat(self, df: DataFrame) -> None:
         if self._type.requires_discrete_data():
@@ -484,11 +622,65 @@ class BayesianNetworkBase:
             result[n] = vals
         return result
 
+    def _lg_fast_logl_matrix(self, df: DataFrame):
+        """Per-(row, node) logl of an all-LinearGaussian model as ONE
+        gemm: every node's conditional mean is an affine map of the data
+        columns, so means for all nodes come from ``mat @ W + b0``.
+        Returns an (m, num_nodes) array, or None when any node is not a
+        fitted LG factor, a variance is non-positive/non-finite, or the
+        data has nulls (the generic per-factor path owns null
+        semantics)."""
+        from ..factors.lineargaussian import LinearGaussianCPD
+
+        nodes = self._fit_nodes()
+        cpds = []
+        for n in nodes:
+            cpd = self._cpds.get(n)
+            if type(cpd) is not LinearGaussianCPD or not cpd.fitted():
+                return None
+            if not (np.isfinite(cpd._variance) and cpd._variance > 0.0):
+                return None
+            cpds.append(cpd)
+        cols: list[str] = []
+        seen = set()
+        for cpd in cpds:
+            for c in (cpd.variable(), *cpd.evidence()):
+                if c not in seen:
+                    seen.add(c)
+                    cols.append(c)
+        try:
+            mat = df.to_numpy(cols, drop_null=False, dtype=np.float64)
+        except Exception:
+            return None
+        if np.isnan(mat).any():
+            return None
+        idx = {c: i for i, c in enumerate(cols)}
+        w = np.zeros((len(cols), len(nodes)))
+        b0 = np.empty(len(nodes))
+        var = np.empty(len(nodes))
+        yidx = np.empty(len(nodes), dtype=np.intp)
+        for j, cpd in enumerate(cpds):
+            b0[j] = cpd._beta[0]
+            var[j] = cpd._variance
+            yidx[j] = idx[cpd.variable()]
+            for coef, e in zip(cpd._beta[1:], cpd.evidence()):
+                w[idx[e], j] += coef
+        mean = mat @ w + b0
+        y = mat[:, yidx]
+        return (
+            -0.5 * np.square(y - mean) / var
+            - 0.5 * np.log(var)
+            - 0.5 * _LOG_2PI
+        )
+
     def logl(self, df) -> np.ndarray:
         """Per-row joint log-likelihood. Rows with nulls in any family yield
         NaN (reference BNGeneric::logl accumulates NaN)."""
         self._check_fitted()
         df = DataFrame.wrap(df)
+        fast = self._lg_fast_logl_matrix(df)
+        if fast is not None:
+            return fast.sum(axis=1)
         total = np.zeros(df.num_rows)
         batched = self._batched_ckde_logl(df)
         for n in self._fit_nodes():
@@ -503,6 +695,9 @@ class BayesianNetworkBase:
         reference BNGeneric::slogl:1010)."""
         self._check_fitted()
         df = DataFrame.wrap(df)
+        fast = self._lg_fast_logl_matrix(df)
+        if fast is not None:
+            return float(fast.sum())
         batched = self._batched_ckde_logl(df)
         total = 0.0
         for n in self._fit_nodes():
@@ -518,12 +713,28 @@ class BayesianNetworkBase:
         self._check_fitted()
         import pandas as pd
 
+        from ..factors.lineargaussian import LinearGaussianCPD
+
         order = self._graph.topological_sort()
         data: dict[str, object] = {}
         base_seed = seed if seed is not None else np.random.SeedSequence().entropy % (2**31)
         for i, node in enumerate(order):
             cpd = self._cpds[node]
             evidence = cpd.evidence()
+            if type(cpd) is LinearGaussianCPD and all(
+                isinstance(data.get(e), np.ndarray) for e in evidence
+            ):
+                # same arithmetic and rng stream as LinearGaussianCPD.sample,
+                # skipping the per-node DataFrame round trip
+                rng = np.random.default_rng(int(base_seed) + i)
+                mean = np.full(n, cpd._beta[0])
+                if evidence:
+                    emat = np.column_stack([data[e] for e in evidence])
+                    mean = mean + emat @ cpd._beta[1:]
+                data[node] = mean + rng.normal(
+                    0.0, math.sqrt(cpd._variance), n
+                )
+                continue
             ev_df = (
                 DataFrame.wrap({e: data[e] for e in evidence})
                 if evidence
