@@ -12,7 +12,12 @@ import numpy as np
 from scipy.special import gammaln
 
 from ...data import DataFrame
-from ...factors.discrete import DiscreteFactorType, create_cardinality_strides, joint_counts
+from ...factors.discrete import (
+    DiscreteFactorType,
+    HostJointCounter,
+    create_cardinality_strides,
+    joint_counts,
+)
 from .base import Score
 
 __all__ = ["BDe"]
@@ -30,6 +35,7 @@ class BDe(Score):
         self.df = DataFrame.wrap(df)
         self.iss = float(iss)
         self._codes_cache = None
+        self._host_counter = None
 
     def data(self):
         return self.df
@@ -41,7 +47,9 @@ class BDe(Score):
             )
         parents = list(parents)
         card, strides = create_cardinality_strides(self.df, variable, parents)
-        counts = joint_counts(self.df, variable, parents, card, strides)
+        if self._host_counter is None:
+            self._host_counter = HostJointCounter(self.df)
+        counts = self._host_counter.counts(variable, parents, card, strides)
         k = int(card[0])
         cardinality_prod = int(np.prod(card))
         alpha = self.iss / cardinality_prod

@@ -14,7 +14,12 @@ import math
 import numpy as np
 
 from ...data import DataFrame
-from ...factors.discrete import DiscreteFactorType, create_cardinality_strides, joint_counts
+from ...factors.discrete import (
+    DiscreteFactorType,
+    HostJointCounter,
+    create_cardinality_strides,
+    joint_counts,
+)
 from ...factors.lineargaussian import LinearGaussianCPDType
 from ...learning.parameters import mle_lineargaussian
 from ...utils import MACHINE_TOL
@@ -67,6 +72,7 @@ class BIC(Score):
         self.df = DataFrame.wrap(df)
         self._device_cache = None
         self._disc_cache = None
+        self._host_counter = None
 
     def data(self):
         return self.df
@@ -106,18 +112,17 @@ class BIC(Score):
 
     def _bic_discrete(self, variable, parents) -> float:
         card, strides = create_cardinality_strides(self.df, variable, parents)
-        counts = joint_counts(self.df, variable, parents, card, strides)
+        if self._host_counter is None:
+            self._host_counter = HostJointCounter(self.df)
+        counts = self._host_counter.counts(variable, parents, card, strides)
         k = int(card[0])
         counts2 = counts.reshape(-1, k)
-        totals = counts2.sum(axis=1)
+        totals = counts2.sum(axis=1, keepdims=True)
         nz = counts2 > 0
-        with np.errstate(divide="ignore", invalid="ignore"):
-            ll = float(
-                np.sum(
-                    counts2[nz]
-                    * (np.log(counts2[nz]) - np.log(np.repeat(totals, k).reshape(-1, k)[nz]))
-                )
-            )
+        cnz = counts2[nz]
+        ll = float(
+            np.sum(cnz * (np.log(cnz) - np.log(np.broadcast_to(totals, counts2.shape)[nz])))
+        )
         n = counts.sum()
         num_parent_configs = counts2.shape[0]
         return ll - math.log(n) * 0.5 * (k - 1) * num_parent_configs
@@ -212,7 +217,10 @@ class BIC(Score):
         batches stay on host — a remote-device round trip costs more than
         stride-counting a few million items with numpy (adaptive dispatch,
         same idea as BLAS small-matrix fast paths)."""
-        if len(fams) * self.df.num_rows < 2_000_000:
+        # crossover: the cached-code host counter runs ~1 ns/row/column, so
+        # a family batch under ~10M row-items finishes before a single
+        # remote-device dispatch round trip (~25 ms) completes
+        if len(fams) * self.df.num_rows < 10_000_000:
             return np.array([self._bic_discrete(v, ps) for v, ps in fams])
         import jax.numpy as jnp
 
