@@ -102,11 +102,17 @@ def bench_ckde(mesh_size, reps=3, n_fams=None):
         n_fams = FAMS_PER_DEV * mesh_size
     args = make_inputs(n_fams)
     np.asarray(sharded_ckde_cv(mesh, *args, chunk=CHUNK))  # compile
+    # pre-build one perturbed input per rep OUTSIDE the timed loop (host
+    # data generation + H2D setup is not what this curve measures); a tiny
+    # data shift is enough to defeat any result cache on repeats
+    data = args[0]
+    per_rep = [(data + (r + 1) * 1e-6,) + args[1:] for r in range(reps)]
+    per_rep = [
+        tuple(jax.device_put(a) for a in rep_args) for rep_args in per_rep
+    ]
     t0 = time.time()
-    for r in range(reps):
-        # vary the seed so no result cache can serve repeats
-        args_r = make_inputs(n_fams, seed=r + 1)
-        out = np.asarray(sharded_ckde_cv(mesh, *args_r, chunk=CHUNK))
+    for rep_args in per_rep:
+        out = np.asarray(sharded_ckde_cv(mesh, *rep_args, chunk=CHUNK))
     elapsed = (time.time() - t0) / reps
     assert np.all(np.isfinite(out))
     return n_fams / elapsed

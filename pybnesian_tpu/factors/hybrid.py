@@ -291,7 +291,10 @@ class DiscreteAdaptator(Factor):
                 rows,
             )
             return header + "\n" + table
-        return header + " = " + self._factors[0].ToString()
+        base = self._factors[0]
+        # the base factor can legitimately be None when its fit failed
+        # (the Fitter skip policy leaves an unfittable config unfitted)
+        return header + " = " + ("not fitted" if base is None else base.ToString())
 
     # --------------------------------------------------------------- pickle
     def __getstate__(self):

@@ -47,10 +47,15 @@ class KMutualInformation(IndependenceTest):
         complete = ~np.isnan(mat).any(axis=1)
         if not complete.all():
             mat = mat[complete]
-        if len(mat) <= self.k:
+        # the conditional-pvalue local shuffle draws shuffle_neighbors
+        # OTHER rows per row, so it needs strictly more rows than either
+        # bound
+        min_rows = max(self.k, self.shuffle_neighbors)
+        if len(mat) <= min_rows:
             raise ValueError(
-                "KMutualInformation requires more complete rows than k "
-                f"(have {len(mat)}, k={self.k})."
+                "KMutualInformation requires more complete rows than "
+                f"max(k, shuffle_neighbors) (have {len(mat)}, k={self.k}, "
+                f"shuffle_neighbors={self.shuffle_neighbors})."
             )
         self._ranked = rank_data(mat)
         self._pos = {c: i for i, c in enumerate(cols)}

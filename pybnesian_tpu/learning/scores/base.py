@@ -32,6 +32,13 @@ class Score:
         return all(v in df for v in variables)
 
     def compatible_bn(self, model) -> bool:
+        """Whether the score can evaluate the model. Data-backed scores
+        check variable coverage; a custom Python score that implements only
+        ``local_score`` (data() stays None) is compatible with everything —
+        the reference leaves this pure-virtual, so its Python trampoline
+        never silently defaults to False."""
+        if self.data() is None:
+            return True
         return self.has_variables(model.nodes())
 
     # ------------------------------------------------------------- scoring
@@ -61,14 +68,15 @@ class Score:
         (variable, parents, node_type). Returns (F,) scores."""
         out = np.empty(len(families))
         for i, fam in enumerate(families):
-            if len(fam) == 3:
+            if len(fam) == 3 and fam[2] is not None:
                 v, ps, nt = fam
-                if nt is None:
-                    nt = self._node_type(model, v)
+                out[i] = self.local_score_node_type(model, nt, v, list(ps))
             else:
-                v, ps = fam
-                nt = self._node_type(model, v)
-            out[i] = self.local_score_node_type(model, nt, v, list(ps))
+                v, ps = fam[0], fam[1]
+                # route through local_score so a Python subclass that only
+                # implements local_score (the reference extension contract,
+                # pybindings_scores.cpp:282) works inside the search
+                out[i] = self.local_score(model, v, list(ps))
         return out
 
     def ToString(self) -> str:

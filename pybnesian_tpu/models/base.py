@@ -465,14 +465,18 @@ class BayesianNetworkBase:
                 return False
             evidence = self.parents(n)
             cpd = self._cpds.get(n)
-            if self._must_construct_cpd(cpd, lg_t, evidence) or not cpd.fitted():
-                todo.append((n, evidence))
+            must = self._must_construct_cpd(cpd, lg_t, evidence)
+            if must or not cpd.fitted():
+                # a reused CPD may carry the same parent SET in a different
+                # order — the slope vector must follow ITS evidence order
+                ev_order = list(evidence) if must else list(cpd.evidence())
+                todo.append((n, ev_order, must))
                 max_k = max(max_k, len(evidence))
         if not todo:
             return True
         cols: list[str] = []
         seen = set()
-        for n, evidence in todo:
+        for n, evidence, _ in todo:
             for c in (n, *evidence):
                 if c not in seen:
                     seen.add(c)
@@ -490,7 +494,7 @@ class BayesianNetworkBase:
         gram = xc.T @ xc
 
         fitted = []
-        for n, evidence in todo:
+        for n, evidence, must in todo:
             yi = idx[n]
             k = len(evidence)
             if k == 0:
@@ -503,7 +507,7 @@ class BayesianNetworkBase:
                 if k == 1:
                     v1 = gram[p[0], p[0]]
                     if v1 < pvar_tol:
-                        fitted.append((n, evidence, None))
+                        fitted.append((n, evidence, must, None))
                         continue
                     b = gy / v1
                 elif k == 2:
@@ -516,7 +520,7 @@ class BayesianNetworkBase:
                         or v2 < pvar_tol
                         or det <= 1e3 * MACHINE_TOL * v1 * v2
                     ):
-                        fitted.append((n, evidence, None))
+                        fitted.append((n, evidence, must, None))
                         continue
                     b = np.array(
                         [
@@ -527,36 +531,36 @@ class BayesianNetworkBase:
                 else:
                     s = gram[np.ix_(p, p)]
                     if np.any(np.diag(s) < pvar_tol):
-                        fitted.append((n, evidence, None))  # ladder handles it
+                        fitted.append((n, evidence, must, None))  # ladder handles it
                         continue
                     try:
                         chol = np.linalg.cholesky(s)
                     except np.linalg.LinAlgError:
-                        fitted.append((n, evidence, None))
+                        fitted.append((n, evidence, must, None))
                         continue
                     ldiag = np.diag(chol)
                     # rcond proxy: collinear parent blocks make the smallest
                     # Cholesky pivot collapse relative to the largest
                     if (ldiag.min() / ldiag.max()) ** 2 < 1e3 * MACHINE_TOL:
-                        fitted.append((n, evidence, None))  # near-collinear
+                        fitted.append((n, evidence, must, None))  # near-collinear
                         continue
                     from scipy.linalg import cho_solve
 
                     b = cho_solve((chol, True), gy, check_finite=False)
                     if not np.all(np.isfinite(b)):
-                        fitted.append((n, evidence, None))
+                        fitted.append((n, evidence, must, None))
                         continue
                 rss = float(gram[yi, yi] - b @ gram[p, yi])
                 if not np.isfinite(rss) or rss < 0.0:
-                    fitted.append((n, evidence, None))
+                    fitted.append((n, evidence, must, None))
                     continue
                 beta = np.concatenate(([means[yi] - b @ means[p]], b))
                 variance = rss / (n_rows - k - 1)
-            fitted.append((n, evidence, (beta, variance)))
+            fitted.append((n, evidence, must, (beta, variance)))
 
-        for n, evidence, params in fitted:
+        for n, evidence, must, params in fitted:
             cpd = self._cpds.get(n)
-            if self._must_construct_cpd(cpd, lg_t, evidence):
+            if must:
                 cpd = lg_t.new_factor(self, n, evidence)
                 self._cpds[n] = cpd
             if params is None:
