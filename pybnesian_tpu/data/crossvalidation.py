@@ -87,7 +87,9 @@ class HoldOut:
     def __init__(self, df, test_ratio: float = 0.2, seed: int | None = None, include_null: bool = False):
         self.df = DataFrame.wrap(df)
         if not (0.0 < test_ratio < 1.0):
-            raise ValueError("test_ratio must be in (0, 1)")
+            raise ValueError(
+                "test_ratio must be a number between 0 and 1."
+            )
         self.seed = seed if seed is not None else 0
         self.test_ratio = test_ratio
 

@@ -51,7 +51,12 @@ class FactorType:
         return hash(type(self))
 
     def new_factor(self, model, variable, evidence, *args, **kwargs) -> "Factor":
-        raise NotImplementedError
+        # NotImplementedError subclasses RuntimeError; the message mirrors
+        # pybind11's pure-virtual diagnostic the reference emits
+        # (factor_type_test.py asserts on it)
+        raise NotImplementedError(
+            'Tried to call pure virtual function "FactorType::new_factor"'
+        )
 
     def ToString(self) -> str:
         return type(self).__name__

@@ -46,6 +46,12 @@ class BDe(Score):
                 f'Node type "{node_type}" not valid for score BDe'
             )
         parents = list(parents)
+        if not all(self.df.is_discrete(p) for p in parents):
+            # mirror BIC: impossible family (discrete child, continuous
+            # parent) scores -inf instead of aborting the search
+            import math
+
+            return -math.inf
         card, strides = create_cardinality_strides(self.df, variable, parents)
         if self._host_counter is None:
             self._host_counter = HostJointCounter(self.df)

@@ -91,6 +91,14 @@ class BIC(Score):
                 return self._bic_clg(variable, discrete_parents, continuous_parents)
             return self._bic_lineargaussian(variable, parents)
         if node_type == DiscreteFactorType():
+            if not all(self.df.is_discrete(p) for p in parents):
+                # a discrete child cannot have continuous parents. The
+                # reference throws here (bic.cpp:131-135), which would abort
+                # a search that proposes the arc (possible in conditional
+                # networks whose interface nodes keep UnknownFactorType);
+                # scoring it as impossible keeps hc robust without changing
+                # any legal result.
+                return -math.inf
             return self._bic_discrete(variable, parents)
         raise ValueError(
             f"BIC is not defined for factor type {node_type}."

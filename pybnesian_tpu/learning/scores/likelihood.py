@@ -670,7 +670,10 @@ class ValidatedLikelihood(ValidatedScore):
     def training_data(self):
         return self.holdout.training_data()
 
+    @property
     def holdout_lik(self):
+        """HoldoutLikelihood component (read-only property, reference
+        pybindings_scores.cpp:644)."""
         return self.holdout
 
     def validation_data(self):
@@ -678,7 +681,10 @@ class ValidatedLikelihood(ValidatedScore):
         (pybindings_scores.cpp:653)."""
         return self.holdout.test_data()
 
+    @property
     def cv_lik(self):
+        """CVLikelihood component (read-only property, reference
+        pybindings_scores.cpp:647)."""
         return self.cv
 
     def local_score_node_type(self, model, node_type, variable, parents) -> float:

@@ -169,6 +169,16 @@ class BayesianNetworkBase:
     def is_leaf(self, node) -> bool:
         return self._graph.is_leaf(node)
 
+    def _clone_extra_into(self, new) -> None:
+        """Carry Python-subclass extra state through clone via the
+        ``__getstate_extra__``/``__setstate_extra__`` contract (reference
+        pybindings keep_python_alive clone semantics: hc returns a clone of
+        the start model that must preserve subclass attributes)."""
+        extra = getattr(self, "__getstate_extra__", None)
+        setter = getattr(new, "__setstate_extra__", None)
+        if callable(extra) and callable(setter):
+            setter(extra())
+
     def can_have_cpd(self, name: str) -> bool:
         """Whether the node stores a CPD (interface nodes in conditional BNs
         do not; reference BayesianNetwork.hpp:601,1311)."""
@@ -328,7 +338,7 @@ class BayesianNetworkBase:
         if nt == UnknownFactorType():
             df = DataFrame.wrap(df)
             name = node if isinstance(node, str) else self._graph.name(node)
-            defaults = self._type.data_default_node_type(df, name)
+            defaults = self._data_default_types(df, name)
             if not defaults:
                 raise ValueError(
                     f"No default factor type for node {name} with data type "
@@ -337,12 +347,44 @@ class BayesianNetworkBase:
             return defaults[0]
         return nt
 
+    def _data_default_types(self, df: DataFrame, name: str):
+        """Call the type policy's ``data_default_node_type`` supporting BOTH
+        signatures: this framework's ``(df, variable)`` and the reference's
+        ``(arrow_data_type)`` (BayesianNetwork.hpp:259, used by Python
+        extension types written against the reference API)."""
+        fn = self._type.data_default_node_type
+        import inspect
+
+        try:
+            params = [
+                p
+                for p in inspect.signature(fn).parameters.values()
+                if p.kind
+                in (
+                    inspect.Parameter.POSITIONAL_ONLY,
+                    inspect.Parameter.POSITIONAL_OR_KEYWORD,
+                )
+            ]
+            single_arg = len(params) == 1
+        except (TypeError, ValueError):
+            single_arg = False
+        if single_arg:
+            out = fn(df.schema.field(name).type)
+        else:
+            out = fn(df, name)
+        if out is not None and not isinstance(out, (list, tuple)):
+            return [out]
+        return out
+
     def set_unknown_node_types(self, df, type_blacklist=None) -> None:
         df = DataFrame.wrap(df)
         blacklist = type_blacklist or []
-        for n in self._all_nodes():
+        # reference iterates nodes() — interface nodes of a conditional BN
+        # carry no CPD and never get a type resolved
+        # (BayesianNetwork.hpp:727)
+        for n in self.nodes():
             if self.node_type(n) == UnknownFactorType():
-                defaults = self._type.data_default_node_type(df, n)
+                defaults = self._data_default_types(df, n)
                 chosen = None
                 for d in defaults:
                     if not any(
@@ -939,6 +981,7 @@ class BayesianNetwork(BayesianNetworkBase):
         new._graph = copy.deepcopy(self._graph)
         new._cpds = dict(self._cpds)
         new._node_types = dict(self._node_types)
+        self._clone_extra_into(new)
         return new
 
     def __setstate__(self, state):
@@ -1094,4 +1137,5 @@ class ConditionalBayesianNetwork(BayesianNetworkBase):
         new._graph = copy.deepcopy(self._graph)
         new._cpds = dict(self._cpds)
         new._node_types = dict(self._node_types)
+        self._clone_extra_into(new)
         return new

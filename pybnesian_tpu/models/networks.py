@@ -71,6 +71,12 @@ class GaussianNetworkType(BayesianNetworkType):
     def requires_continuous_data(self) -> bool:
         return True
 
+    def new_bn(self, nodes):
+        return GaussianNetwork(nodes)
+
+    def new_cbn(self, nodes, interface_nodes):
+        return ConditionalGaussianNetwork(nodes, interface_nodes)
+
     def ToString(self) -> str:
         return "GaussianNetworkType"
 
@@ -94,6 +100,12 @@ class DiscreteBNType(BayesianNetworkType):
 
     def requires_discrete_data(self) -> bool:
         return True
+
+    def new_bn(self, nodes):
+        return DiscreteBN(nodes)
+
+    def new_cbn(self, nodes, interface_nodes):
+        return ConditionalDiscreteBN(nodes, interface_nodes)
 
     def ToString(self) -> str:
         return "DiscreteNetworkType"
@@ -120,6 +132,12 @@ class KDENetworkType(BayesianNetworkType):
 
     def requires_continuous_data(self) -> bool:
         return True
+
+    def new_bn(self, nodes):
+        return KDENetwork(nodes)
+
+    def new_cbn(self, nodes, interface_nodes):
+        return ConditionalKDENetwork(nodes, interface_nodes)
 
     def ToString(self) -> str:
         return "KDENetworkType"
@@ -185,6 +203,12 @@ class SemiparametricBNType(BayesianNetworkType):
             return [LinearGaussianCPDType()]
         return []
 
+    def new_bn(self, nodes):
+        return SemiparametricBN(nodes)
+
+    def new_cbn(self, nodes, interface_nodes):
+        return ConditionalSemiparametricBN(nodes, interface_nodes)
+
     def ToString(self) -> str:
         return "SemiparametricBNType"
 
@@ -219,6 +243,12 @@ class CLGNetworkType(BayesianNetworkType):
         if st == LinearGaussianCPDType() and tt == DiscreteFactorType():
             return False
         return True
+
+    def new_bn(self, nodes):
+        return CLGNetwork(nodes)
+
+    def new_cbn(self, nodes, interface_nodes):
+        return ConditionalCLGNetwork(nodes, interface_nodes)
 
     def ToString(self) -> str:
         return "CLGNetworkType"

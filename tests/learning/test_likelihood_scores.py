@@ -93,9 +93,9 @@ def test_validated_likelihood_channels():
     # validation channel = holdout
     v = score.vlocal_score(model, "b", ["a"])
     cpd = LinearGaussianCPD("b", ["a"])
-    cpd.fit(score.holdout_lik().training_data())
+    cpd.fit(score.holdout_lik.training_data())
     np.testing.assert_allclose(
-        v, cpd.slogl(score.holdout_lik().test_data()), rtol=1e-9
+        v, cpd.slogl(score.holdout_lik.test_data()), rtol=1e-9
     )
 
 
