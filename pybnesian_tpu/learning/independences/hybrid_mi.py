@@ -14,7 +14,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
-from scipy.stats import chi2
+from scipy.special import gammaincc
 
 from ...data import DataFrame
 from .base import DynamicIndependenceTest, IndependenceTest
@@ -338,7 +338,7 @@ class MutualInformation(IndependenceTest):
         n = self.df.valid_rows(x, y, *z)
         dz, cz = self._split_z(z)
         dof = self._calculate_df(x, y, dz, cz)
-        return float(chi2.sf(2.0 * n * mi_value, dof))
+        return float(gammaincc(0.5 * dof, n * mi_value))  # chi2.sf via direct ufunc
 
 
 class DynamicMutualInformation(DynamicIndependenceTest):

@@ -10,7 +10,7 @@ with the reference's tolerance (cor_svd, linearcorrelation.hpp:27-45).
 from __future__ import annotations
 
 import numpy as np
-from scipy.stats import t as t_dist
+from scipy.special import stdtr
 
 from ...data import DataFrame
 from ...utils import MACHINE_TOL
@@ -22,7 +22,10 @@ __all__ = ["LinearCorrelation", "DynamicLinearCorrelation"]
 def cor_pvalue(cor: float, df: int) -> float:
     denom = max(1.0 - cor * cor, 1e-300)
     statistic = cor * np.sqrt(df) / np.sqrt(denom)
-    return float(2.0 * t_dist.sf(abs(statistic), df))
+    # 2·P(T_df > |t|) via the direct Student-t CDF ufunc — identical to
+    # scipy.stats.t.sf but without the per-call distribution-framework
+    # overhead that dominates PC runs (60% of wall-clock at 50 nodes)
+    return float(2.0 * stdtr(df, -abs(statistic)))
 
 
 def cor_0cond(cov: np.ndarray, i: int, j: int) -> float:
