@@ -14,7 +14,7 @@ import math
 
 import numpy as np
 from scipy.special import comb
-from scipy.stats import gamma as gamma_dist
+from scipy.special import gammainc as _gammainc, gammaincc as _gammaincc
 
 __all__ = ["lpb4_complement", "hbe_complement", "lpb4", "hbe"]
 
@@ -142,7 +142,7 @@ def lpb4(coeffs, quantile: float) -> float:
     theta = mu * lam
     if np.any(theta <= 0):
         raise RuntimeError("Wrong theta parameter.")
-    return float(np.sum(prop * gamma_dist.cdf(quantile, k, scale=theta)))
+    return float(np.sum(prop * _gammainc(k, quantile / theta)))
 
 
 def lpb4_complement(coeffs, quantile: float) -> float:
@@ -151,7 +151,7 @@ def lpb4_complement(coeffs, quantile: float) -> float:
     theta = mu * lam
     if np.any(theta <= 0):
         raise RuntimeError("Wrong theta parameter.")
-    return float(np.sum(prop * gamma_dist.sf(quantile, k, scale=theta)))
+    return float(np.sum(prop * _gammaincc(k, quantile / theta)))
 
 
 def _hbe_parts(coeffs):
@@ -168,10 +168,10 @@ def hbe(coeffs, quantile: float) -> float:
     """(reference chisquaresum.hpp:274-289)."""
     k1, k2, nu = _hbe_parts(coeffs)
     statistic = math.sqrt(2 * nu / k2) * (quantile - k1) + nu
-    return float(gamma_dist.cdf(statistic, nu / 2.0, scale=2.0))
+    return float(_gammainc(nu / 2.0, statistic / 2.0))
 
 
 def hbe_complement(coeffs, quantile: float) -> float:
     k1, k2, nu = _hbe_parts(coeffs)
     statistic = math.sqrt(2 * nu / k2) * (quantile - k1) + nu
-    return float(gamma_dist.sf(statistic, nu / 2.0, scale=2.0))
+    return float(_gammaincc(nu / 2.0, statistic / 2.0))
