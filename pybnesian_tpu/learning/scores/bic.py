@@ -51,7 +51,9 @@ def _padded_batched_bic(values, valid, fams):
     Pb = _next_pow2(max(P, 1))
     var_idx = np.zeros(Fb, np.int32)
     parent_idx = np.zeros((Fb, Pb), np.int32)
-    parent_mask = np.zeros((Fb, Pb), np.asarray(values).dtype)
+    # values is a device array: read .dtype directly — np.asarray(values)
+    # here would fetch the whole data matrix D2H on every scoring batch
+    parent_mask = np.zeros((Fb, Pb), values.dtype)
     for f, (vi, ps) in enumerate(fams):
         var_idx[f] = vi
         for j, p in enumerate(ps):

@@ -80,7 +80,7 @@ def _fused_cv_scores(data, null_mask, col_idx, col_mask, tr_idx, tr_mask,
 
     if (
         jax.default_backend() == "tpu"
-        and np.asarray(data).dtype == np.float32
+        and data.dtype == np.float32
         and _flash_cv_usable()
     ):
         try:
@@ -138,8 +138,8 @@ class _KFoldEngine:
                 train[k, tr] = 1.0
                 test[k, te] = 1.0
             self._masks = (
-                jnp.asarray(train.astype(np.asarray(values).dtype)),
-                jnp.asarray(test.astype(np.asarray(values).dtype)),
+                jnp.asarray(train.astype(values.dtype)),
+                jnp.asarray(test.astype(values.dtype)),
             )
         train_mask, test_mask = self._masks
         F = len(families)
@@ -148,7 +148,7 @@ class _KFoldEngine:
         Pb = _next_pow2(max(P, 1))
         var_idx = np.zeros(Fb, np.int32)
         parent_idx = np.zeros((Fb, Pb), np.int32)
-        parent_mask = np.zeros((Fb, Pb), np.asarray(values).dtype)
+        parent_mask = np.zeros((Fb, Pb), values.dtype)
         for f, (vi, ps) in enumerate(families):
             var_idx[f] = vi
             for j, p in enumerate(ps):
