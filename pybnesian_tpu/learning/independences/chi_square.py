@@ -45,6 +45,13 @@ class ChiSquare(IndependenceTest):
             nz = expected > 0
             statistic += float(((tab[nz] - expected[nz]) ** 2 / expected[nz]).sum())
         dof = (c1 - 1) * (c2 - 1) * z_configs
+        if dof <= 0:
+            # cardinality-1 column: boost::math::chi_squared_distribution
+            # rejects df == 0 (reference chi_square.cpp:34)
+            raise ValueError(
+                "Chi-squared distribution requires dof > 0 "
+                f"(got {dof}; a tested column has a single category)."
+            )
         return float(gammaincc(0.5 * dof, 0.5 * statistic))  # chi2.sf via direct ufunc
 
 

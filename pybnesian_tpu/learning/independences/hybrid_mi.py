@@ -338,7 +338,9 @@ class MutualInformation(IndependenceTest):
         n = self.df.valid_rows(x, y, *z)
         dz, cz = self._split_z(z)
         dof = self._calculate_df(x, y, dz, cz)
-        return float(gammaincc(0.5 * dof, n * mi_value))  # chi2.sf via direct ufunc
+        # clamp: MI estimates round to tiny negatives for exactly-independent
+        # tables; chi2.sf treated them as p=1, gammaincc would return nan
+        return float(gammaincc(0.5 * dof, max(n * mi_value, 0.0)))
 
 
 class DynamicMutualInformation(DynamicIndependenceTest):

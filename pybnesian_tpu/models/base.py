@@ -21,6 +21,10 @@ from ..graph import ConditionalDag, Dag, NodeLookupError
 
 _LOG_2PI = math.log(2.0 * math.pi)
 
+# per-type-class arity of data_default_node_type: True = the reference's
+# single-argument (arrow DataType) signature, False = (df, variable)
+_DDNT_SINGLE_ARG: dict[type, bool] = {}
+
 __all__ = [
     "BayesianNetworkType",
     "BayesianNetworkBase",
@@ -245,8 +249,10 @@ class BayesianNetworkBase:
         return self._graph.topological_sort()
 
     def has_unknown_node_types(self) -> bool:
+        # reference iterates nodes() (BayesianNetwork.hpp:750-756); interface
+        # nodes carry no CPD and legitimately stay Unknown
         return any(
-            self.node_type(n) == UnknownFactorType() for n in self._all_nodes()
+            self.node_type(n) == UnknownFactorType() for n in self.nodes()
         )
 
     def add_node(self, name: str) -> int:
@@ -353,23 +359,29 @@ class BayesianNetworkBase:
         ``(arrow_data_type)`` (BayesianNetwork.hpp:259, used by Python
         extension types written against the reference API)."""
         fn = self._type.data_default_node_type
-        import inspect
+        tcls = type(self._type)
+        single_arg = _DDNT_SINGLE_ARG.get(tcls)
+        if single_arg is None:
+            import inspect
 
-        try:
-            params = [
-                p
-                for p in inspect.signature(fn).parameters.values()
-                if p.kind
-                in (
-                    inspect.Parameter.POSITIONAL_ONLY,
-                    inspect.Parameter.POSITIONAL_OR_KEYWORD,
-                )
-            ]
-            single_arg = len(params) == 1
-        except (TypeError, ValueError):
-            single_arg = False
+            try:
+                params = [
+                    p
+                    for p in inspect.signature(fn).parameters.values()
+                    if p.kind
+                    in (
+                        inspect.Parameter.POSITIONAL_ONLY,
+                        inspect.Parameter.POSITIONAL_OR_KEYWORD,
+                    )
+                ]
+                single_arg = len(params) == 1
+            except (TypeError, ValueError):
+                single_arg = False
+            _DDNT_SINGLE_ARG[tcls] = single_arg
         if single_arg:
-            out = fn(df.schema.field(name).type)
+            from ..data.arrow_interop import column_pa_type
+
+            out = fn(column_pa_type(df.col(name)))
         else:
             out = fn(df, name)
         if out is not None and not isinstance(out, (list, tuple)):

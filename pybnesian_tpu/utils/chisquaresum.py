@@ -142,7 +142,7 @@ def lpb4(coeffs, quantile: float) -> float:
     theta = mu * lam
     if np.any(theta <= 0):
         raise RuntimeError("Wrong theta parameter.")
-    return float(np.sum(prop * _gammainc(k, quantile / theta)))
+    return float(np.sum(prop * _gammainc(k, np.maximum(quantile, 0.0) / theta)))
 
 
 def lpb4_complement(coeffs, quantile: float) -> float:
@@ -151,7 +151,7 @@ def lpb4_complement(coeffs, quantile: float) -> float:
     theta = mu * lam
     if np.any(theta <= 0):
         raise RuntimeError("Wrong theta parameter.")
-    return float(np.sum(prop * _gammaincc(k, quantile / theta)))
+    return float(np.sum(prop * _gammaincc(k, np.maximum(quantile, 0.0) / theta)))
 
 
 def _hbe_parts(coeffs):
@@ -168,10 +168,12 @@ def hbe(coeffs, quantile: float) -> float:
     """(reference chisquaresum.hpp:274-289)."""
     k1, k2, nu = _hbe_parts(coeffs)
     statistic = math.sqrt(2 * nu / k2) * (quantile - k1) + nu
-    return float(_gammainc(nu / 2.0, statistic / 2.0))
+    # the moment-matched statistic can go negative for small quantiles;
+    # gamma.cdf treated that as 0 (gammainc would return nan)
+    return float(_gammainc(nu / 2.0, max(statistic, 0.0) / 2.0))
 
 
 def hbe_complement(coeffs, quantile: float) -> float:
     k1, k2, nu = _hbe_parts(coeffs)
     statistic = math.sqrt(2 * nu / k2) * (quantile - k1) + nu
-    return float(_gammaincc(nu / 2.0, statistic / 2.0))
+    return float(_gammaincc(nu / 2.0, max(statistic, 0.0) / 2.0))
