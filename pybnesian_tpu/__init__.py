@@ -148,4 +148,19 @@ DynamicBayesianNetworkBase = DynamicBayesianNetwork
 
 __version__ = "0.1.0"
 
+
+def install_as_pybnesian() -> None:
+    """Register this package under the name ``pybnesian`` so existing
+    PyBNesian code (and its test suites) run unmodified::
+
+        import pybnesian_tpu
+        pybnesian_tpu.install_as_pybnesian()
+        import pybnesian as pbn   # -> pybnesian_tpu
+
+    No-op if a module named ``pybnesian`` is already imported."""
+    import sys
+
+    sys.modules.setdefault("pybnesian", sys.modules[__name__])
+
+
 __all__ = [name for name in dir() if not name.startswith("_")]

@@ -26,7 +26,7 @@ jax.config.update("jax_enable_x64", True)
 sys.path.insert(0, {repo!r})
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests", "helpers"))
 import pybnesian_tpu
-sys.modules.setdefault("pybnesian", pybnesian_tpu)
+pybnesian_tpu.install_as_pybnesian()
 """
 
 
