@@ -95,15 +95,31 @@ def bench_baseline(df, n_tests=200):
     return n_tests / (time.time() - t0)
 
 
+def bench_rcot(df, n_nodes=10):
+    """RCoT PC on a node subset (BASELINE config 4 also names RCoT): each
+    p-value evaluates the 100k-row random-Fourier feature map + residual
+    algebra on device."""
+    from pybnesian_tpu import PC, RCoT
+
+    sub = df[df.columns[:n_nodes]]
+    test = _CountingTest(RCoT(sub, seed=0))
+    t0 = time.time()
+    PC().estimate(test, alpha=0.05)
+    return test.count / (time.time() - t0), test.count
+
+
 def main():
     df = make_data()
     rate, n_tests, n_links = bench_ours(df)
     base = bench_baseline(df)
+    rcot_rate, rcot_tests = bench_rcot(df)
     print(json.dumps({
         "metric": "config4_pc_pvalues_per_s_50n_100k",
         "value": round(rate, 1),
         "unit": f"pvalues/s (PC-stable, {n_tests} tests, {n_links} links)",
         "vs_baseline": round(rate / base, 2),
+        "rcot_pvalues_per_s_10n_100k": round(rcot_rate, 1),
+        "rcot_tests": rcot_tests,
     }))
 
 

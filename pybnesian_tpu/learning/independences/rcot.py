@@ -38,14 +38,20 @@ def rf_sigma(m: np.ndarray) -> float:
 
 
 def _rff_kernel():
-    """Jitted feature map — XLA's vectorized cos is ~60× numpy's libm loop
-    on large feature blocks (the z block is (n, 100) per test)."""
+    """Jitted feature map with column normalization fused in — XLA's
+    vectorized cos is ~60× numpy's libm loop on large feature blocks (the z
+    block is (n, 100) per test), and keeping normalization on device avoids
+    a (n, 100) D2H+H2D round trip per test."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
     def f(m, W, b):
-        return jnp.sqrt(2.0) * jnp.cos(m @ W + b[None, :])
+        feat = jnp.sqrt(2.0) * jnp.cos(m @ W + b[None, :])
+        mean = jnp.mean(feat, axis=0, keepdims=True)
+        sd = jnp.std(feat, axis=0, ddof=1, keepdims=True)
+        sd = jnp.where(sd == 0, 1.0, sd)
+        return (feat - mean) / sd
 
     return f
 
@@ -65,30 +71,12 @@ def random_fourier_features(m: np.ndarray, sigma: float, num_features: int,
     b = rng.uniform(0, 2 * np.pi, num_features)
     if _rff is None:
         _rff = _rff_kernel()
-    return np.asarray(_rff(m, W, b), dtype=np.float64)
+    # returns the DEVICE array (columns already normalized) — downstream
+    # covariance/eigen kernels consume it without leaving the device
+    return _rff(m, W, b)
 
 
-def _normalize_cols(f: np.ndarray) -> np.ndarray:
-    mean = f.mean(axis=0, keepdims=True)
-    sd = f.std(axis=0, ddof=1, keepdims=True)
-    sd[sd == 0] = 1.0
-    return (f - mean) / sd
 
-
-def _cov(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    ac = a - a.mean(axis=0, keepdims=True)
-    bc = b - b.mean(axis=0, keepdims=True)
-    return ac.T @ bc / (len(a) - 1)
-
-
-def _product_eigs(feat_x: np.ndarray, feat_y: np.ndarray) -> np.ndarray:
-    """Eigenvalues of the covariance of the elementwise feature products
-    (reference eigenvalues_covariance_impl, RCoT.hpp:244-262)."""
-    n = len(feat_x)
-    prod = (feat_x[:, :, None] * feat_y[:, None, :]).reshape(n, -1)
-    centred = prod - prod.mean(axis=0, keepdims=True)
-    cov = centred.T @ centred / n
-    return np.linalg.eigvalsh(cov)
 
 
 def _twz_kernels():
@@ -108,6 +96,16 @@ def _twz_kernels():
                 _cov_d(fz, fy, n))
 
     @jax.jit
+    def pair_stats(fx, fy):
+        n = fx.shape[0]
+        cxy = _cov_d(fx, fy, n)
+        prod = (fx[:, :, None] * fy[:, None, :]).reshape(n, -1)
+        centred = prod - jnp.mean(prod, axis=0, keepdims=True)
+        covp = jnp.dot(centred.T, centred,
+                       precision=jax.lax.Precision.HIGHEST) / n
+        return jnp.sum(cxy**2), jnp.linalg.eigvalsh(covp)
+
+    @jax.jit
     def resid_eigs(fx, fy, fz, B1, B2):
         n = fx.shape[0]
         rx = fx - fz @ B1
@@ -118,7 +116,7 @@ def _twz_kernels():
                        precision=jax.lax.Precision.HIGHEST) / n
         return jnp.linalg.eigvalsh(covp)
 
-    return covs, resid_eigs
+    return covs, resid_eigs, pair_stats
 
 
 _twz = None
@@ -130,7 +128,7 @@ def _test_with_z_core(fx, fy, fz):
     global _twz
     if _twz is None:
         _twz = _twz_kernels()
-    covs, resid_eigs = _twz
+    covs, resid_eigs, _ = _twz
     n = len(fx)
     cxy, czz, cxz, czy = (np.array(m, np.float64)
                           for m in covs(fx, fy, fz))
@@ -195,31 +193,24 @@ class RCoT(IndependenceTest):
 
     def _rit(self, x: np.ndarray, y: np.ndarray) -> float:
         """(reference RIT_impl, RCoT.hpp:288-317)."""
+        global _twz
+        if _twz is None:
+            _twz = _twz_kernels()
+        _, _, pair_stats = _twz
         n = len(x)
-        fx = _normalize_cols(
-            random_fourier_features(x, rf_sigma(x), self.num_xy, self._rng)
-        )
-        fy = _normalize_cols(
-            random_fourier_features(y, rf_sigma(y), self.num_xy, self._rng)
-        )
-        cxy = _cov(fx, fy)
-        sta = n * float(np.sum(cxy**2))
-        eigs = _product_eigs(fx, fy)
-        return _pvalue_from_eigs(eigs, sta)
+        fx = random_fourier_features(x, rf_sigma(x), self.num_xy, self._rng)
+        fy = random_fourier_features(y, rf_sigma(y), self.num_xy, self._rng)
+        ssq, eigs = pair_stats(fx, fy)
+        sta = n * float(ssq)
+        return _pvalue_from_eigs(np.asarray(eigs, np.float64), sta)
 
     def _test_with_z(self, x: np.ndarray, y: np.ndarray, z: np.ndarray) -> float:
         """(reference TestWithZ_impl, RCoT.hpp:340-395). The residualisation
         and product-eigenvalue algebra run as ONE jitted device call
         (Cholesky solve — TPU LU only supports f32, CLAUDE.md)."""
-        fx = _normalize_cols(
-            random_fourier_features(x, rf_sigma(x), self.num_xy, self._rng)
-        )
-        fy = _normalize_cols(
-            random_fourier_features(y, rf_sigma(y), self.num_xy, self._rng)
-        )
-        fz = _normalize_cols(
-            random_fourier_features(z, rf_sigma(z), self.num_z, self._rng)
-        )
+        fx = random_fourier_features(x, rf_sigma(x), self.num_xy, self._rng)
+        fy = random_fourier_features(y, rf_sigma(y), self.num_xy, self._rng)
+        fz = random_fourier_features(z, rf_sigma(z), self.num_z, self._rng)
         sta, eigs = _test_with_z_core(fx, fy, fz)
         eigs = np.asarray(eigs, np.float64)
         if self.num_z == 1:
