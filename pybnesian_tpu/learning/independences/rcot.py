@@ -210,7 +210,18 @@ class RCoT(IndependenceTest):
         (Cholesky solve — TPU LU only supports f32, CLAUDE.md)."""
         fx = random_fourier_features(x, rf_sigma(x), self.num_xy, self._rng)
         fy = random_fourier_features(y, rf_sigma(y), self.num_xy, self._rng)
-        fz = random_fourier_features(z, rf_sigma(z), self.num_z, self._rng)
+        sigma_z = rf_sigma(z)
+        # pad z to a power-of-two width: padded columns are all-zero, and a
+        # zero column contributes nothing to m @ W, so the feature values
+        # are identical — but PC's growing conditioning sets then hit only
+        # O(log d) compiled shapes instead of one per sepset size
+        kz = z.shape[1]
+        kp = 1
+        while kp < kz:
+            kp *= 2
+        if kp != kz:
+            z = np.concatenate([z, np.zeros((len(z), kp - kz))], axis=1)
+        fz = random_fourier_features(z, sigma_z, self.num_z, self._rng)
         sta, eigs = _test_with_z_core(fx, fy, fz)
         eigs = np.asarray(eigs, np.float64)
         if self.num_z == 1:
