@@ -10,10 +10,13 @@ from .diagnostics import (effective_sample_size, potential_scale_reduction,
                           summarize)
 from .hmc import hmc, nuts, sample_chains, sample_chains_sharded
 from .logdensity import make_logdensity
+from .predictive import apply_params, posterior_predictive
 from .smc import smc
 
 __all__ = [
     "make_logdensity",
+    "apply_params",
+    "posterior_predictive",
     "hmc",
     "nuts",
     "sample_chains",
