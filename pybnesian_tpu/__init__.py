@@ -146,7 +146,7 @@ from .utils.pickle import load
 ConditionalBayesianNetworkBase = ConditionalBayesianNetwork
 DynamicBayesianNetworkBase = DynamicBayesianNetwork
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 
 def install_as_pybnesian() -> None:
