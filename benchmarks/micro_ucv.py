@@ -96,7 +96,7 @@ def bench_ours(df):
     reps = 3
     for r in range(reps):
         # vary data slightly so no cache serves repeats
-        h = ucv.bandwidth(df + r * 1e-6, ["x", "y"])
+        h = ucv.bandwidth(df + (r + 1) * 1e-6, ["x", "y"])
     elapsed = (time.time() - t0) / reps
     assert np.all(np.isfinite(h))
     return 1.0 / elapsed

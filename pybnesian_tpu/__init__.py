@@ -157,10 +157,36 @@ def install_as_pybnesian() -> None:
         pybnesian_tpu.install_as_pybnesian()
         import pybnesian as pbn   # -> pybnesian_tpu
 
-    No-op if a module named ``pybnesian`` is already imported."""
+    ``import pybnesian.<sub>`` also resolves to the SAME module objects (a
+    meta-path alias, not a copy — duplicating the tree would fork jit
+    caches and singleton type identities). No-op if a module named
+    ``pybnesian`` is already imported."""
+    import importlib
+    import importlib.abc
+    import importlib.util
     import sys
 
-    sys.modules.setdefault("pybnesian", sys.modules[__name__])
+    if "pybnesian" in sys.modules and sys.modules["pybnesian"] is not (
+        sys.modules[__name__]
+    ):
+        return
+    sys.modules["pybnesian"] = sys.modules[__name__]
+
+    class _AliasFinder(importlib.abc.MetaPathFinder, importlib.abc.Loader):
+        def find_spec(self, fullname, path=None, target=None):
+            if fullname.startswith("pybnesian."):
+                return importlib.util.spec_from_loader(fullname, self)
+            return None
+
+        def create_module(self, spec):
+            real = "pybnesian_tpu" + spec.name[len("pybnesian"):]
+            return importlib.import_module(real)
+
+        def exec_module(self, module):
+            pass
+
+    if not any(type(f).__name__ == "_AliasFinder" for f in sys.meta_path):
+        sys.meta_path.insert(0, _AliasFinder())
 
 
 __all__ = [name for name in dir() if not name.startswith("_")]

@@ -17,14 +17,21 @@ from ..data import DataFrame
 __all__ = ["apply_params", "posterior_predictive"]
 
 
-def apply_params(model, df, layout, theta):
+def apply_params(model, df, layout, theta, _template=None):
     """Fitted clone of ``model`` with CPD parameters taken from ``theta``.
 
     ``layout`` is the ParamLayout returned by ``make_logdensity(model, df)``;
     ``theta`` is one flat parameter vector (a posterior draw). Supports the
     same node kinds as the logdensity: plain linear-Gaussian ("lg"),
     conditional-linear-Gaussian ("clg"), and discrete CPTs ("discrete").
+
+    ``_template``: a model previously returned by this function — its
+    fitted CLG/discrete skeletons (categories, strides, partitions) are
+    copied instead of re-fitting on ``df``, so mixing over many draws pays
+    the data-dependent fit exactly once.
     """
+    import copy
+
     from scipy.special import logsumexp
 
     from ..factors.discrete import DiscreteFactor
@@ -43,13 +50,16 @@ def apply_params(model, df, layout, theta):
             variance = float(np.exp(block[-1]))
             cpds.append(LinearGaussianCPD(node, parents, beta, variance))
         elif kind == "clg":
-            f = CLinearGaussianCPD(node, parents)
-            # fit once on the training frame to establish the discrete
-            # partition (categories, strides); parameters are replaced by
-            # the draw below. Config indexing matches make_logdensity:
-            # both filter the discrete evidence in parents order and use
-            # create_cardinality_strides.
-            f.fit(df)
+            if _template is not None:
+                f = copy.deepcopy(_template.cpd(node))
+            else:
+                f = CLinearGaussianCPD(node, parents)
+                # fit once on the training frame to establish the discrete
+                # partition (categories, strides); parameters are replaced
+                # by the draw below. Config indexing matches
+                # make_logdensity: both filter the discrete evidence in
+                # parents order and use create_cardinality_strides.
+                f.fit(df)
             cont = f._continuous_evidence
             k = len(cont)
             params = block.reshape(-1, k + 2)
@@ -62,8 +72,11 @@ def apply_params(model, df, layout, theta):
             ]
             cpds.append(f)
         elif kind == "discrete":
-            f = DiscreteFactor(node, parents)
-            f.fit(df)
+            if _template is not None:
+                f = copy.deepcopy(_template.cpd(node))
+            else:
+                f = DiscreteFactor(node, parents)
+                f.fit(df)
             kcat = int(f._cardinality[0])
             logits = block.reshape(-1, kcat)
             logp = logits - logsumexp(logits, axis=1, keepdims=True)
@@ -91,16 +104,25 @@ def posterior_predictive(model, df, layout, samples, n_rows: int,
         samples = samples.reshape(-1, samples.shape[-1])
     if samples.ndim != 2:
         raise ValueError("samples must be (S, dim) or (chains, S, dim)")
+    if len(samples) == 0:
+        raise ValueError("samples is empty — need at least one posterior draw")
+    if n_rows <= 0:
+        raise ValueError(f"n_rows must be positive (got {n_rows})")
     rng = np.random.default_rng(seed)
     n_draws = min(max_draws, len(samples))
     chosen = rng.choice(len(samples), size=n_draws, replace=False)
     per = np.full(n_draws, n_rows // n_draws)
     per[: n_rows % n_draws] += 1
     frames = []
+    template = None
     for i, s_idx in enumerate(chosen):
         if per[i] == 0:
             continue
-        m = apply_params(model, df, layout, samples[s_idx])
+        m = apply_params(
+            model, df, layout, samples[s_idx], _template=template
+        )
+        if template is None:
+            template = m
         frames.append(
             m.sample(int(per[i]), seed=seed + 1 + i, ordered=True).to_pandas()
         )

@@ -606,7 +606,7 @@ class HoldoutLikelihood(Score):
             Pb = _next_pow2(max(P, 1))
             var_idx = np.zeros(Fb, np.int32)
             parent_idx = np.zeros((Fb, Pb), np.int32)
-            parent_mask = np.zeros((Fb, Pb), np.asarray(tv).dtype)
+            parent_mask = np.zeros((Fb, Pb), tv.dtype)
             for f, i in enumerate(lg_idx):
                 var_idx[f] = pos[norm[i][0]]
                 for j, p in enumerate(norm[i][1]):
