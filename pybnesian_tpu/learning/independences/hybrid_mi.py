@@ -338,6 +338,13 @@ class MutualInformation(IndependenceTest):
         n = self.df.valid_rows(x, y, *z)
         dz, cz = self._split_z(z)
         dof = self._calculate_df(x, y, dz, cz)
+        if dof <= 0:
+            # boost::math::chi_squared_distribution rejects df == 0
+            # (reference mutual_information.cpp:1131)
+            raise ValueError(
+                "Chi-squared distribution requires dof > 0 "
+                f"(got {dof} for MutualInformation({x}, {y} | {z}))."
+            )
         # clamp: MI estimates round to tiny negatives for exactly-independent
         # tables; chi2.sf treated them as p=1, gammaincc would return nan
         return float(gammaincc(0.5 * dof, max(n * mi_value, 0.0)))
