@@ -102,20 +102,32 @@ class Factor:
     def evidence(self) -> list[str]:
         return list(self._evidence)
 
+    # pure-virtual surface: messages mirror pybind11's diagnostic so code
+    # written against the reference's trampolines sees the same text
     def fitted(self) -> bool:
-        raise NotImplementedError
+        raise NotImplementedError(
+            'Tried to call pure virtual function "Factor::fitted"'
+        )
 
     def type(self) -> FactorType:
-        raise NotImplementedError
+        raise NotImplementedError(
+            'Tried to call pure virtual function "Factor::type"'
+        )
 
     def data_type(self):
-        raise NotImplementedError
+        raise NotImplementedError(
+            'Tried to call pure virtual function "Factor::data_type"'
+        )
 
     def fit(self, df) -> None:
-        raise NotImplementedError
+        raise NotImplementedError(
+            'Tried to call pure virtual function "Factor::fit"'
+        )
 
     def logl(self, df):
-        raise NotImplementedError
+        raise NotImplementedError(
+            'Tried to call pure virtual function "Factor::logl"'
+        )
 
     def slogl(self, df) -> float:
         import numpy as np
@@ -123,10 +135,14 @@ class Factor:
         return float(np.nansum(self.logl(df)))
 
     def sample(self, n: int, evidence_values=None, seed: int | None = None):
-        raise NotImplementedError
+        raise NotImplementedError(
+            'Tried to call pure virtual function "Factor::sample"'
+        )
 
     def ToString(self) -> str:
-        raise NotImplementedError
+        raise NotImplementedError(
+            'Tried to call pure virtual function "Factor::ToString"'
+        )
 
     def __str__(self) -> str:
         return self.ToString()

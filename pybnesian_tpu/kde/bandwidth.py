@@ -47,10 +47,15 @@ class BandwidthSelector:
     contract, pybindings_kde.cpp:19)."""
 
     def bandwidth(self, df, variables) -> np.ndarray:
-        raise NotImplementedError
+        raise NotImplementedError(
+            'Tried to call pure virtual function "BandwidthSelector::bandwidth"'
+        )
 
     def diag_bandwidth(self, df, variables) -> np.ndarray:
-        raise NotImplementedError
+        raise NotImplementedError(
+            'Tried to call pure virtual function '
+            '"BandwidthSelector::diag_bandwidth"'
+        )
 
     def ToString(self) -> str:
         return type(self).__name__
