@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import itertools
 
+import numpy as np
+
 from ...graph import ConditionalPartiallyDirectedGraph, PartiallyDirectedGraph
 from ...utils import Combinations2Sets
 
@@ -124,18 +126,94 @@ def _adjacent_pool(g, node, exclude=None):
     return pool
 
 
-def _find_skeleton(g, test, alpha, edge_whitelist, sepset: SepSet):
-    """(reference pc.cpp:222-263)."""
+# Upper bound on tests evaluated per batch call at the PC level; batch-aware
+# tests (RCoT) sub-chunk internally to fit device memory.
+_PC_BATCH = 2048
+
+
+def _batch_eval(test, triples):
+    """One batched p-value evaluation, serial fallback for duck-typed tests
+    that only expose ``pvalue``."""
+    fn = getattr(test, "pvalue_batch", None)
+    if fn is not None:
+        return np.asarray(fn(triples), dtype=np.float64)
+    return np.array(
+        [test.pvalue(x, y, *zs) for (x, y, zs) in triples], dtype=np.float64
+    )
+
+
+def _batched_sepset_search(edge_iters, test, alpha, bar=None):
+    """Round-robin batched early-exit search.
+
+    ``edge_iters`` maps each edge to an iterator over its candidate sepsets
+    (tuples), in the exact order the serial algorithm would try them. Each
+    round, every still-active edge contributes its next few candidates; the
+    whole round is evaluated in ONE ``pvalue_batch`` call. An edge resolves
+    on the FIRST candidate (in its own order) whose p-value exceeds alpha —
+    identical results to the serial loop, with the per-test dispatch cost
+    amortised across every open edge of the sweep (the TPU-first redesign of
+    reference pc.cpp:92-263's per-test loop).
+    """
+    active = dict(edge_iters)  # insertion-ordered
+    resolved = {}
+    while active:
+        per_edge = max(1, _PC_BATCH // len(active))
+        triples = []
+        owners = []  # aligned: (edge, candidate)
+        dry = set()
+        for edge, it in active.items():
+            took = 0
+            for cand in it:
+                triples.append((edge[0], edge[1], tuple(cand)))
+                owners.append((edge, cand))
+                took += 1
+                if took >= per_edge:
+                    break
+            if took < per_edge:
+                dry.add(edge)
+        if not triples:
+            for edge in active:
+                if bar is not None:
+                    bar.tick()
+            break
+        pvals = _batch_eval(test, triples)
+        decided = set()
+        for (edge, cand), p in zip(owners, pvals):
+            if edge in decided or edge in resolved:
+                continue
+            if p > alpha:
+                resolved[edge] = (set(cand), float(p))
+                decided.add(edge)
+        for edge in decided | dry:
+            if active.pop(edge, None) is not None and bar is not None:
+                bar.tick()
+    return resolved
+
+
+def _find_skeleton(g, test, alpha, edge_whitelist, sepset: SepSet,
+                   verbose: int = 0):
+    """(reference pc.cpp:222-263). Candidate sweeps are evaluated through
+    ``pvalue_batch`` so device-backed tests fuse each order's surviving
+    tests into a handful of launches."""
+    from ...utils.progress import progress_bar
+
     wl = {frozenset(e) for e in edge_whitelist}
+    bar = progress_bar(verbose)
 
     # order 0 (pc.cpp:33-90)
-    for (u, v) in list(g.edges()):
-        if frozenset((u, v)) in wl:
-            continue
-        pvalue = test.pvalue(u, v)
-        if pvalue > alpha:
-            g.remove_edge(u, v)
-            sepset.insert((u, v), set(), pvalue)
+    cand0 = [
+        (u, v) for (u, v) in g.edges() if frozenset((u, v)) not in wl
+    ]
+    bar.set_text("No. sepset 0")
+    bar.set_max_progress(len(cand0))
+    for start in range(0, len(cand0), _PC_BATCH):
+        chunk = cand0[start:start + _PC_BATCH]
+        pvals = _batch_eval(test, [(u, v, ()) for (u, v) in chunk])
+        for (u, v), p in zip(chunk, pvals):
+            if p > alpha:
+                g.remove_edge(u, v)
+                sepset.insert((u, v), set(), float(p))
+            bar.tick()
 
     def max_cardinality(limit):
         return all(
@@ -143,56 +221,72 @@ def _find_skeleton(g, test, alpha, edge_whitelist, sepset: SepSet):
         )
 
     if g.num_edges() == len(wl) or max_cardinality(1):
+        bar.mark_as_completed("Finished PC skeleton")
         return sepset
 
-    # order 1 (pc.cpp:92-144)
-    to_remove = []
+    # order 1 (pc.cpp:92-144): pools are frozen for the whole order
+    # (PC-stable), so every edge's candidate list is fixed up front.
+    iters = {}
     for (u, v) in g.edges():
         if frozenset((u, v)) in wl:
             continue
-        pool = (_adjacent_pool(g, u) | _adjacent_pool(g, v)) - {u, v}
-        for cond in pool:
-            pvalue = test.pvalue(u, v, cond)
-            if pvalue > alpha:
-                to_remove.append((u, v))
-                sepset.insert((u, v), {cond}, pvalue)
-                break
-    for (u, v) in to_remove:
+        pool = sorted((_adjacent_pool(g, u) | _adjacent_pool(g, v)) - {u, v})
+        iters[(u, v)] = iter([(c,) for c in pool])
+    bar.set_text("No. sepset 1")
+    bar.set_max_progress(len(iters))
+    bar.set_progress(0)
+    resolved = _batched_sepset_search(iters, test, alpha, bar)
+    for (u, v), (s, p) in resolved.items():
         g.remove_edge(u, v)
+        sepset.insert((u, v), s, p)
 
     # order >= 2 (pc.cpp:148-263)
     limit = 2
     while g.num_edges() > len(wl) and not max_cardinality(limit):
-        to_remove = []
+        iters = {}
         for (u, v) in g.edges():
             if frozenset((u, v)) in wl:
                 continue
-            result = _find_multivariate_sepset(g, (u, v), limit, test, alpha)
-            if result is not None:
-                to_remove.append((u, v))
-                sepset.insert((u, v), result[0], result[1])
-        for (u, v) in to_remove:
+            comb = _multivariate_candidates(g, (u, v), limit)
+            if comb is not None:
+                iters[(u, v)] = iter(comb)
+        bar.set_text(f"No. sepset {limit}")
+        bar.set_max_progress(len(iters))
+        bar.set_progress(0)
+        resolved = _batched_sepset_search(iters, test, alpha, bar)
+        for (u, v), (s, p) in resolved.items():
             g.remove_edge(u, v)
+            sepset.insert((u, v), s, p)
         limit += 1
+    bar.mark_as_completed("Finished PC skeleton")
     return sepset
 
 
-def _find_multivariate_sepset(g, edge, sep_size, test, alpha):
+def _multivariate_candidates(g, edge, sep_size):
+    """Candidate sepsets of size ``sep_size`` for ``edge``, in serial order,
+    or None if neither endpoint's neighbourhood is large enough
+    (reference pc.cpp:169-186: validity is checked against the FULL
+    neighbourhood including the other endpoint, the candidate list
+    excludes it)."""
     u, v = edge
-    # validity is checked against the FULL neighbourhood (including the other
-    # endpoint), the candidate list excludes it (reference pc.cpp:169-186)
     set1_valid = len(_adjacent_pool(g, u)) > sep_size
     set2_valid = len(_adjacent_pool(g, v)) > sep_size
-    pool1 = _adjacent_pool(g, u, exclude=v)
-    pool2 = _adjacent_pool(g, v, exclude=u)
     if not set1_valid and not set2_valid:
         return None
+    pool1 = sorted(_adjacent_pool(g, u, exclude=v))
+    pool2 = sorted(_adjacent_pool(g, v, exclude=u))
     if set1_valid and set2_valid:
-        comb = Combinations2Sets(sorted(pool1), sorted(pool2), sep_size)
-    elif set1_valid:
-        comb = itertools.combinations(sorted(pool1), sep_size)
-    else:
-        comb = itertools.combinations(sorted(pool2), sep_size)
+        return Combinations2Sets(pool1, pool2, sep_size)
+    if set1_valid:
+        return itertools.combinations(pool1, sep_size)
+    return itertools.combinations(pool2, sep_size)
+
+
+def _find_multivariate_sepset(g, edge, sep_size, test, alpha):
+    comb = _multivariate_candidates(g, edge, sep_size)
+    if comb is None:
+        return None
+    u, v = edge
     for s in comb:
         pvalue = test.pvalue(u, v, *s)
         if pvalue > alpha:
@@ -203,24 +297,22 @@ def _find_multivariate_sepset(g, edge, sep_size, test, alpha):
 # ============================================================= v-structures
 def _is_unambiguous_vstructure(g, p1, p2, child, test, alpha,
                                ambiguous_threshold):
-    """(reference constraint.hpp is_unambiguous_vstructure)."""
+    """(reference constraint.hpp is_unambiguous_vstructure). The sepset
+    vote enumerates EVERY candidate anyway (no early exit except the
+    threshold-0 per-size check), so each size's candidates go through one
+    ``pvalue_batch`` call."""
     pool1 = _adjacent_pool(g, p1)
     pool2 = _adjacent_pool(g, p2)
     max_sepset = max(len(pool1), len(pool2))
 
-    indep_sepsets = 0
-    children_in_sepsets = 0
-    if test.pvalue(p1, p2) > alpha:
-        indep_sepsets += 1
-
-    # univariate candidates (constraint.hpp count_univariate_sepsets)
-    if test.pvalue(p1, p2, child) > alpha:
-        indep_sepsets += 1
-        children_in_sepsets += 1
-    possible = (pool1 | pool2) - {child, p1, p2}
-    for sp in possible:
-        if test.pvalue(p1, p2, sp) > alpha:
-            indep_sepsets += 1
+    # marginal + univariate candidates in one batch
+    # (constraint.hpp count_univariate_sepsets)
+    possible = sorted((pool1 | pool2) - {child, p1, p2})
+    triples = [(p1, p2, ()), (p1, p2, (child,))]
+    triples += [(p1, p2, (sp,)) for sp in possible]
+    pvals = _batch_eval(test, triples)
+    indep_sepsets = int(np.sum(pvals > alpha))
+    children_in_sepsets = int(pvals[1] > alpha)
 
     if ambiguous_threshold == 0 and children_in_sepsets > 0:
         return False
@@ -239,11 +331,17 @@ def _is_unambiguous_vstructure(g, p1, p2, child, test, alpha,
                 comb = itertools.combinations(u2, size)
             else:
                 continue
-            for s in comb:
-                if test.pvalue(p1, p2, *s) > alpha:
-                    indep_sepsets += 1
-                    if child in s:
-                        children_in_sepsets += 1
+            cands = [tuple(s) for s in comb]
+            for start in range(0, len(cands), _PC_BATCH):
+                chunk = cands[start:start + _PC_BATCH]
+                pvals = _batch_eval(
+                    test, [(p1, p2, s) for s in chunk]
+                )
+                for s, p in zip(chunk, pvals):
+                    if p > alpha:
+                        indep_sepsets += 1
+                        if child in s:
+                            children_in_sepsets += 1
             if ambiguous_threshold == 0 and children_in_sepsets > 0:
                 return False
 
@@ -336,7 +434,7 @@ class PC:
         return self._estimate_impl(
             skeleton, hypot_test, arc_blacklist, arc_whitelist,
             edge_blacklist, edge_whitelist, alpha, use_sepsets,
-            ambiguous_threshold, allow_bidirected,
+            ambiguous_threshold, allow_bidirected, verbose,
         )
 
     def estimate_conditional(
@@ -372,12 +470,12 @@ class PC:
         return self._estimate_impl(
             skeleton, hypot_test, arc_blacklist, arc_whitelist,
             edge_blacklist, edge_whitelist, alpha, use_sepsets,
-            ambiguous_threshold, allow_bidirected,
+            ambiguous_threshold, allow_bidirected, verbose,
         )
 
     def _estimate_impl(self, skeleton, test, arc_blacklist, arc_whitelist,
                        edge_blacklist, edge_whitelist, alpha, use_sepsets,
-                       ambiguous_threshold, allow_bidirected):
+                       ambiguous_threshold, allow_bidirected, verbose=0):
         from ...utils.validate import validate_restrictions
 
         # normalize + cross-check the lists (reference pc.cpp:277-278):
@@ -405,7 +503,8 @@ class PC:
                 )
 
         sepset = SepSet()
-        _find_skeleton(skeleton, test, alpha, r.edge_whitelist, sepset)
+        _find_skeleton(skeleton, test, alpha, r.edge_whitelist, sepset,
+                       verbose=verbose)
 
         if hasattr(skeleton, "is_interface"):
             # conditional graphs: interface edges become interface -> node

@@ -1,7 +1,17 @@
 """Independence test interfaces
-(reference learning/independences/independence.hpp:15-49)."""
+(reference learning/independences/independence.hpp:15-49).
+
+`pvalue_batch` is the TPU-first extension the reference lacks: constraint
+searches (PC orders, v-structure votes) collect every candidate test of a
+sweep and evaluate them in one call, so device-backed tests (RCoT) can fuse
+hundreds of p-values into a handful of launches instead of paying the
+dispatch round-trip per test. The default implementation is the serial
+loop, so user-defined Python tests keep working unchanged.
+"""
 
 from __future__ import annotations
+
+import numpy as np
 
 __all__ = ["IndependenceTest", "DynamicIndependenceTest"]
 
@@ -11,6 +21,20 @@ class IndependenceTest:
 
     def pvalue(self, x: str, y: str, *z: str) -> float:
         raise NotImplementedError
+
+    def pvalue_batch(self, triples) -> np.ndarray:
+        """Evaluate many tests at once.
+
+        ``triples`` is a sequence of ``(x, y, zs)`` with ``zs`` a tuple of
+        conditioning names (possibly empty, sizes may be mixed). Returns an
+        array of p-values aligned with ``triples``. Subclasses with
+        device-backed batch kernels override this; the base implementation
+        is the serial loop.
+        """
+        return np.array(
+            [self.pvalue(x, y, *zs) for (x, y, zs) in triples],
+            dtype=np.float64,
+        )
 
     def num_variables(self) -> int:
         return len(self.variable_names())

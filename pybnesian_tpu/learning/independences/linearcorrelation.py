@@ -89,13 +89,61 @@ class LinearCorrelation(IndependenceTest):
         return cor_pvalue(cor, n - 2 - len(z))
 
     # ------------------------------------------------------- batched paths
-    def pvalues_order0(self, pairs) -> np.ndarray:
-        """Vectorized order-0 p-values for a list of (x, y) pairs — the PC
-        skeleton's first sweep as a single covariance read."""
-        out = np.empty(len(pairs))
-        for i, (x, y) in enumerate(pairs):
-            out[i] = self.pvalue(x, y)
+    def pvalue_batch(self, triples) -> np.ndarray:
+        """Vectorized p-values for ``(x, y, zs)`` triples (mixed sizes).
+
+        With the cached full-data covariance this groups tests by
+        conditioning-set size and runs one stacked ``eigh`` per group —
+        the whole PC order sweep becomes a few LAPACK batch calls instead
+        of per-test Python. Null-bearing data falls back to the serial
+        path (each test has its own row mask)."""
+        triples = list(triples)
+        if not self._cached:
+            return super().pvalue_batch(triples)
+        n = self.df.num_rows
+        out = np.empty(len(triples))
+        by_size: dict[int, list[int]] = {}
+        for i, (_, _, zs) in enumerate(triples):
+            by_size.setdefault(len(zs), []).append(i)
+        for size, idxs in by_size.items():
+            dof = n - 2 - size
+            if size == 0:
+                cors = np.array([
+                    cor_0cond(self._cov, self._pos[triples[i][0]],
+                              self._pos[triples[i][1]])
+                    for i in idxs
+                ])
+            else:
+                pos = np.array([
+                    [self._pos[triples[i][0]], self._pos[triples[i][1]]]
+                    + [self._pos[e] for e in triples[i][2]]
+                    for i in idxs
+                ])
+                subs = self._cov[pos[:, :, None], pos[:, None, :]]
+                cors = _cor_general_batch(subs)
+            denom = np.maximum(1.0 - cors * cors, 1e-300)
+            stat = cors * np.sqrt(dof) / np.sqrt(denom)
+            out[idxs] = 2.0 * stdtr(dof, -np.abs(stat))
         return out
+
+
+def _cor_general_batch(covs: np.ndarray) -> np.ndarray:
+    """Stacked ``cor_general``: partial correlation of variables 0, 1 given
+    the rest via the eigendecomposition pseudo-inverse, vectorized over the
+    leading batch axis. Matches the scalar path bit-for-bit on each slice."""
+    d, u = np.linalg.eigh(covs)  # d: (B, k) ascending, u: (B, k, k)
+    k = covs.shape[-1]
+    tol = k * d[:, -1] * np.finfo(np.float64).eps
+    keep = d > tol[:, None]
+    inv_d = np.where(keep, 1.0 / np.where(keep, d, 1.0), 0.0)
+    u0 = u[:, 0, :]
+    u1 = u[:, 1, :]
+    p11 = np.sum(u0 * u0 * inv_d, axis=1)
+    p12 = np.sum(u0 * u1 * inv_d, axis=1)
+    p22 = np.sum(u1 * u1 * inv_d, axis=1)
+    good = keep.any(axis=1) & (p11 >= MACHINE_TOL) & (p22 >= MACHINE_TOL)
+    denom = np.sqrt(np.where(good, p11 * p22, 1.0))
+    return np.where(good, np.clip(-p12 / denom, -1.0, 1.0), 0.0)
 
 
 class DynamicLinearCorrelation(DynamicIndependenceTest):

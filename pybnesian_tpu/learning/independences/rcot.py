@@ -79,6 +79,96 @@ def random_fourier_features(m: np.ndarray, sigma: float, num_features: int,
 
 
 
+def _rf_sigma_cols(m: np.ndarray) -> float:
+    """``rf_sigma`` via the Gram trick (a²+b²−2ab in f64 — no cancellation
+    trouble at 500 rows): same median, O(r²·d) flops through BLAS instead of
+    an (r, r, d) broadcast."""
+    if m.ndim == 1:
+        m = m[:, None]
+    r = min(500, len(m))
+    sub = np.asarray(m[:r], np.float64)
+    sq = np.einsum("ij,ij->i", sub, sub)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * (sub @ sub.T)
+    iu = np.triu_indices(r, k=1)
+    med = float(np.median(np.sqrt(np.maximum(d2[iu], 0.0))))
+    return med if med != 0 else 1.0
+
+
+def _batched_kernels():
+    """Jitted batch kernels: one launch evaluates B tests' feature maps and
+    covariances, a second their residual-product eigenvalues (the host f64
+    solve for the ill-conditioned (num_z × num_z) system sits in between,
+    as in the serial path). All tests of a PC order sweep share the two
+    launches, amortising the dispatch round trip B ways."""
+    import jax
+    import jax.numpy as jnp
+
+    def _nrm(feat):
+        mean = jnp.mean(feat, axis=1, keepdims=True)
+        sd = jnp.std(feat, axis=1, ddof=1, keepdims=True)
+        sd = jnp.where(sd == 0, 1.0, sd)
+        return (feat - mean) / sd
+
+    def _feat1(X, W, b):
+        # X: (B, n), W/b: (B, f) → (B, n, f)
+        return _nrm(jnp.sqrt(2.0) * jnp.cos(
+            X[:, :, None] * W[:, None, :] + b[:, None, :]
+        ))
+
+    def _featk(Z, W, b):
+        # Z: (B, n, d), W: (B, d, f), b: (B, f) → (B, n, f)
+        prod = jnp.einsum("bnd,bdf->bnf", Z, W)
+        return _nrm(jnp.sqrt(2.0) * jnp.cos(prod + b[:, None, :]))
+
+    def _cov(a, b, n):
+        ac = a - jnp.mean(a, axis=1, keepdims=True)
+        bc = b - jnp.mean(b, axis=1, keepdims=True)
+        return jnp.einsum(
+            "bnc,bnd->bcd", ac, bc,
+            precision=jax.lax.Precision.HIGHEST,
+        ) / (n - 1.0)
+
+    def _prod_eigs(a, b, n):
+        prod = (a[:, :, :, None] * b[:, :, None, :]).reshape(
+            a.shape[0], n, -1
+        )
+        centred = prod - jnp.mean(prod, axis=1, keepdims=True)
+        covp = jnp.einsum(
+            "bnc,bnd->bcd", centred, centred,
+            precision=jax.lax.Precision.HIGHEST,
+        ) / n
+        return jnp.linalg.eigvalsh(covp)
+
+    @jax.jit
+    def feat_covs(X, Wx, bx, Y, Wy, by, Z, Wz, bz):
+        n = X.shape[1]
+        fx = _feat1(X, Wx, bx)
+        fy = _feat1(Y, Wy, by)
+        fz = _featk(Z, Wz, bz)
+        return (fx, fy, fz, _cov(fx, fy, n), _cov(fz, fz, n),
+                _cov(fx, fz, n), _cov(fz, fy, n))
+
+    @jax.jit
+    def resid_eigs(fx, fy, fz, B1, B2):
+        n = fx.shape[1]
+        rx = fx - jnp.einsum("bnf,bfc->bnc", fz, B1)
+        ry = fy - jnp.einsum("bnf,bfc->bnc", fz, B2)
+        return _prod_eigs(rx, ry, n)
+
+    @jax.jit
+    def pair_stats(X, Wx, bx, Y, Wy, by):
+        n = X.shape[1]
+        fx = _feat1(X, Wx, bx)
+        fy = _feat1(Y, Wy, by)
+        cxy = _cov(fx, fy, n)
+        return jnp.sum(cxy**2, axis=(1, 2)), _prod_eigs(fx, fy, n)
+
+    return feat_covs, resid_eigs, pair_stats
+
+
+_batched = None
+
+
 def _twz_kernels():
     import jax
     import jax.numpy as jnp
@@ -160,6 +250,11 @@ class RCoT(IndependenceTest):
         self.num_xy = int(random_fourier_xy)
         self.num_z = int(random_fourier_z)
         self._rng = np.random.default_rng(seed)
+        # batched-path caches (full-column values + median-heuristic widths;
+        # valid because the batch path only runs on null-free columns)
+        self._col_cache: dict[str, np.ndarray] = {}
+        self._sig1: dict[str, float] = {}
+        self._sigz: dict[tuple, float] = {}
         for c in self.df.column_names():
             if not self.df.is_continuous(c):
                 raise ValueError(
@@ -223,11 +318,153 @@ class RCoT(IndependenceTest):
             z = np.concatenate([z, np.zeros((len(z), kp - kz))], axis=1)
         fz = random_fourier_features(z, sigma_z, self.num_z, self._rng)
         sta, eigs = _test_with_z_core(fx, fy, fz)
-        eigs = np.asarray(eigs, np.float64)
+        return self._pvalue_tail(np.asarray(eigs, np.float64), sta)
+
+    def _pvalue_tail(self, eigs: np.ndarray, sta: float) -> float:
         if self.num_z == 1:
             pos = eigs[eigs > 0]
             return max(hbe_complement(pos, sta), 0.0)
         return _pvalue_from_eigs(eigs, sta)
+
+    # ------------------------------------------------------- batched path
+    # f32-element budget per launch (~2 GB of intermediates); the dominant
+    # per-test footprint is the (n, num_z) z-feature block plus the
+    # (n, num_xy²) residual product.
+    _ELEM_BUDGET = 500_000_000
+
+    def _full_col(self, name: str) -> np.ndarray:
+        col = self._col_cache.get(name)
+        if col is None:
+            col = self.df.to_numpy([name], drop_null=False,
+                                   dtype=np.float64)[:, 0]
+            self._col_cache[name] = col
+        return col
+
+    def _sigma1(self, name: str, col: np.ndarray) -> float:
+        s = self._sig1.get(name)
+        if s is None:
+            s = rf_sigma(col)
+            self._sig1[name] = s
+        return s
+
+    def _sigmaz(self, zcols: tuple, zmat: np.ndarray) -> float:
+        s = self._sigz.get(zcols)
+        if s is None:
+            s = _rf_sigma_cols(zmat)
+            self._sigz[zcols] = s
+        return s
+
+    def pvalue_batch(self, triples) -> np.ndarray:
+        """Batched tests: stack the (x, y | Z) problems of one sweep, run
+        the feature maps + covariances of ALL of them in one launch, solve
+        the per-test (num_z × num_z) systems as one stacked host f64 solve,
+        and batch the residual-product eigendecompositions in a second
+        launch. Groups by conditioning-set size internally; tests over
+        null-bearing columns fall back to the serial path (their row masks
+        differ per test)."""
+        triples = list(triples)
+        out = np.empty(len(triples))
+        cols = sorted({c for t in triples for c in (t[0], t[1], *t[2])})
+        if any(self.df.null_count(c) > 0 for c in cols):
+            return super().pvalue_batch(triples)
+        data = {c: self._full_col(c) for c in cols}
+        var = {c: float(data[c].var()) for c in cols}
+
+        groups: dict[int, list] = {}
+        for i, (x, y, zs) in enumerate(triples):
+            if var[x] == 0 or var[y] == 0:
+                out[i] = 1.0
+                continue
+            zcols = tuple(c for c in zs if var[c] > 0)
+            groups.setdefault(len(zcols), []).append((i, x, y, zcols))
+
+        global _batched
+        if _batched is None:
+            _batched = _batched_kernels()
+        feat_covs, resid_eigs, pair_stats = _batched
+
+        n = self.df.num_rows
+        two_pi = 2 * np.pi
+        for size, items in groups.items():
+            dp = 1
+            while dp < size:
+                dp *= 2
+            per_test = n * (dp + 6 * self.num_xy + 2 * self.num_z
+                            + 2 * self.num_xy * self.num_xy)
+            bmax = max(1, self._ELEM_BUDGET // per_test)
+            # keep launch shapes pow2-bucketed: chunk at a pow2 size and
+            # pad only the final partial chunk up to the next pow2
+            b_chunk = 1
+            while b_chunk * 2 <= bmax:
+                b_chunk *= 2
+            for start in range(0, len(items), b_chunk):
+                chunk = items[start:start + b_chunk]
+                real = len(chunk)
+                bp = 1
+                while bp < real:
+                    bp *= 2
+                padded = chunk + [chunk[-1]] * (bp - real)
+                rng = self._rng
+                X = np.stack([data[x] for (_, x, _, _) in padded])
+                Y = np.stack([data[y] for (_, _, y, _) in padded])
+                sigx = np.array([
+                    self._sigma1(x, data[x]) for (_, x, _, _) in padded
+                ])
+                sigy = np.array([
+                    self._sigma1(y, data[y]) for (_, _, y, _) in padded
+                ])
+                Wx = (rng.standard_normal((bp, self.num_xy))
+                      / sigx[:, None]).astype(np.float32)
+                bx = rng.uniform(0, two_pi,
+                                 (bp, self.num_xy)).astype(np.float32)
+                Wy = (rng.standard_normal((bp, self.num_xy))
+                      / sigy[:, None]).astype(np.float32)
+                by = rng.uniform(0, two_pi,
+                                 (bp, self.num_xy)).astype(np.float32)
+                Xs = X.astype(np.float32)
+                Ys = Y.astype(np.float32)
+                if size == 0:
+                    ssq, eigs = pair_stats(Xs, Wx, bx, Ys, Wy, by)
+                    sta = n * np.asarray(ssq, np.float64)
+                    eigs = np.asarray(eigs, np.float64)
+                    for j in range(real):
+                        out[padded[j][0]] = _pvalue_from_eigs(
+                            eigs[j], float(sta[j])
+                        )
+                    continue
+                Z = np.zeros((bp, n, dp), np.float32)
+                sigz = np.empty(bp)
+                for j, (_, _, _, zcols) in enumerate(padded):
+                    zmat = np.column_stack([data[c] for c in zcols])
+                    Z[j, :, :size] = zmat
+                    sigz[j] = self._sigmaz(zcols, zmat)
+                Wz = (rng.standard_normal((bp, dp, self.num_z))
+                      / sigz[:, None, None]).astype(np.float32)
+                bz = rng.uniform(0, two_pi,
+                                 (bp, self.num_z)).astype(np.float32)
+                fx, fy, fz, cxy, czz, cxz, czy = feat_covs(
+                    Xs, Wx, bx, Ys, Wy, by, Z, Wz, bz
+                )
+                cxy = np.asarray(cxy, np.float64)
+                czz = np.asarray(czz, np.float64)
+                cxz = np.asarray(cxz, np.float64)
+                czy = np.asarray(czy, np.float64)
+                di = np.arange(self.num_z)
+                czz[:, di, di] += 1e-10
+                B1 = np.linalg.solve(czz, np.transpose(cxz, (0, 2, 1)))
+                B2 = np.linalg.solve(czz, czy)
+                cxy_z = cxy - cxz @ B2
+                sta = n * np.sum(cxy_z**2, axis=(1, 2))
+                eigs = np.asarray(
+                    resid_eigs(fx, fy, fz, B1.astype(np.float32),
+                               B2.astype(np.float32)),
+                    np.float64,
+                )
+                for j in range(real):
+                    out[padded[j][0]] = self._pvalue_tail(
+                        eigs[j], float(sta[j])
+                    )
+        return out
 
 
 class DynamicRCoT(DynamicIndependenceTest):
