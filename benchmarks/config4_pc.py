@@ -55,6 +55,11 @@ class _CountingTest:
         self.count += 1
         return self.inner.pvalue(*a)
 
+    def pvalue_batch(self, triples):
+        triples = list(triples)
+        self.count += len(triples)
+        return self.inner.pvalue_batch(triples)
+
     def variable_names(self):
         return self.inner.variable_names()
 
@@ -95,10 +100,11 @@ def bench_baseline(df, n_tests=200):
     return n_tests / (time.time() - t0)
 
 
-def bench_rcot(df, n_nodes=10):
-    """RCoT PC on a node subset (BASELINE config 4 also names RCoT): each
-    p-value evaluates the 100k-row random-Fourier feature map + residual
-    algebra on device."""
+def bench_rcot(df, n_nodes=N_NODES):
+    """RCoT PC on the FULL 50-node/100k-row network (BASELINE config 4):
+    the batched pipeline stacks each PC order's surviving tests into a few
+    device launches (feature maps + covariances, then residual
+    eigendecompositions)."""
     from pybnesian_tpu import PC, RCoT
 
     sub = df[df.columns[:n_nodes]]
@@ -118,7 +124,7 @@ def main():
         "value": round(rate, 1),
         "unit": f"pvalues/s (PC-stable, {n_tests} tests, {n_links} links)",
         "vs_baseline": round(rate / base, 2),
-        "rcot_pvalues_per_s_10n_100k": round(rcot_rate, 1),
+        "rcot_pvalues_per_s_50n_100k": round(rcot_rate, 1),
         "rcot_tests": rcot_tests,
     }))
 

@@ -47,17 +47,26 @@ def _da_update(state, accept_prob, target=0.8, gamma=0.05, t0=10.0,
     return DualAveragingState(log_step, log_step_avg, h_avg, state.mu, count)
 
 
-def _leapfrog(logdensity_grad, theta, momentum, step, inv_mass, n_steps):
+def _leapfrog(logdensity_grad, theta, momentum, step, inv_mass, n_steps,
+              logp_grad=None):
+    """Velocity-Verlet with the end-point gradient threaded through the
+    carry: the trailing half-kick gradient of step k IS the leading
+    half-kick gradient of step k+1, so a trajectory costs exactly
+    ``n_steps`` gradient evaluations (not 2·n_steps). Returns
+    ``(theta, momentum, (logp, grad))`` with the density/gradient at the
+    final point, so callers never re-evaluate it."""
+    if logp_grad is None:
+        logp_grad = logdensity_grad(theta)
+
     def body(_, carry):
-        th, m = carry
-        _, g = logdensity_grad(th)
+        th, m, (lp, g) = carry
         m = m + 0.5 * step * g
         th = th + step * m * inv_mass
-        _, g = logdensity_grad(th)
+        lp, g = logdensity_grad(th)
         m = m + 0.5 * step * g
-        return th, m
+        return th, m, (lp, g)
 
-    return jax.lax.fori_loop(0, n_steps, body, (theta, momentum))
+    return jax.lax.fori_loop(0, n_steps, body, (theta, momentum, logp_grad))
 
 
 def _kinetic(momentum, inv_mass):
@@ -74,7 +83,7 @@ def hmc(logdensity: Callable, init, key, num_samples: int = 1000,
     vg = jax.value_and_grad(logdensity)
     dim = init.shape[0]
 
-    def one_step(theta, logp, key, step, inv_mass, n_steps):
+    def one_step(theta, logp, grad, key, step, inv_mass, n_steps):
         key, km, ku, kj = jax.random.split(key, 4)
         momentum = jax.random.normal(km, (dim,), theta.dtype) / jnp.sqrt(
             inv_mass
@@ -84,10 +93,9 @@ def hmc(logdensity: Callable, init, key, num_samples: int = 1000,
             1 + jax.random.randint(kj, (), 0, n_steps),
             jnp.asarray(n_steps),
         )
-        new_theta, new_momentum = _leapfrog(
-            vg, theta, momentum, step, inv_mass, steps
+        new_theta, new_momentum, (new_logp, new_grad) = _leapfrog(
+            vg, theta, momentum, step, inv_mass, steps, (logp, grad)
         )
-        new_logp, _ = vg(new_theta)
         delta_h = (
             new_logp - logp - _kinetic(new_momentum, inv_mass)
             + _kinetic(momentum, inv_mass)
@@ -97,48 +105,49 @@ def hmc(logdensity: Callable, init, key, num_samples: int = 1000,
         accept = jax.random.uniform(ku, (), theta.dtype) < accept_prob
         theta = jnp.where(accept, new_theta, theta)
         logp = jnp.where(accept, new_logp, logp)
-        return theta, logp, key, accept_prob
+        grad = jnp.where(accept, new_grad, grad)
+        return theta, logp, grad, key, accept_prob
 
-    logp0, _ = vg(init)
+    logp0, grad0 = vg(init)
 
     def warmup_step(carry, _):
-        theta, logp, key, da, mean, m2, count = carry
+        theta, logp, grad, key, da, mean, m2, count = carry
         step = jnp.exp(da.log_step)
         inv_mass = jnp.where(
             count > 10.0, m2 / jnp.maximum(count - 1.0, 1.0), jnp.ones(dim)
         )
         inv_mass = jnp.maximum(inv_mass, 1e-6)
-        theta, logp, key, accept_prob = one_step(
-            theta, logp, key, step, inv_mass, num_leapfrog
+        theta, logp, grad, key, accept_prob = one_step(
+            theta, logp, grad, key, step, inv_mass, num_leapfrog
         )
         da = _da_update(da, accept_prob, target=target_accept)
         count = count + 1.0
         delta = theta - mean
         mean = mean + delta / count
         m2 = m2 + delta * (theta - mean)
-        return (theta, logp, key, da, mean, m2, count), accept_prob
+        return (theta, logp, grad, key, da, mean, m2, count), accept_prob
 
     da0 = _da_init(jnp.asarray(initial_step, init.dtype))
     carry = (
-        init, logp0, key, da0, jnp.zeros(dim, init.dtype),
+        init, logp0, grad0, key, da0, jnp.zeros(dim, init.dtype),
         jnp.zeros(dim, init.dtype), jnp.asarray(0.0, init.dtype),
     )
     carry, warm_accept = jax.lax.scan(
         warmup_step, carry, None, length=num_warmup
     )
-    theta, logp, key, da, mean, m2, count = carry
+    theta, logp, grad, key, da, mean, m2, count = carry
     step = jnp.exp(da.log_step_avg)
     inv_mass = jnp.maximum(m2 / jnp.maximum(count - 1.0, 1.0), 1e-6)
 
     def sample_step(carry, _):
-        theta, logp, key = carry
-        theta, logp, key, accept_prob = one_step(
-            theta, logp, key, step, inv_mass, num_leapfrog
+        theta, logp, grad, key = carry
+        theta, logp, grad, key, accept_prob = one_step(
+            theta, logp, grad, key, step, inv_mass, num_leapfrog
         )
-        return (theta, logp, key), (theta, accept_prob)
+        return (theta, logp, grad, key), (theta, accept_prob)
 
     _, (samples, accepts) = jax.lax.scan(
-        sample_step, (theta, logp, key), None, length=num_samples
+        sample_step, (theta, logp, grad, key), None, length=num_samples
     )
     info = {
         "step_size": step,
@@ -149,22 +158,29 @@ def hmc(logdensity: Callable, init, key, num_samples: int = 1000,
     return samples, info
 
 
-def _nuts_step(vg, theta, logp, key, step, inv_mass, max_depth):
+def _nuts_step(vg, theta, logp, grad, key, step, inv_mass, max_depth):
     """One multinomial-NUTS transition with static tree doubling.
 
     The doubling recursion is unrolled over ``max_depth`` (each level extends
     the trajectory away from the current tree), with a U-turn check per
-    level — compiles to a static trace, XLA-friendly."""
+    level — compiles to a static trace, XLA-friendly. Endpoint and sampled-
+    point gradients ride in the tree state, so each leapfrog step costs
+    exactly ONE density+gradient evaluation (the reference-free redesign of
+    the usual recompute-at-segment-start pattern)."""
     dim = theta.shape[0]
     key, km, kd = jax.random.split(key, 3)
     momentum = jax.random.normal(km, (dim,), theta.dtype) / jnp.sqrt(inv_mass)
     h0 = logp - _kinetic(momentum, inv_mass)
 
-    # trajectory state: endpoints, sampled point (multinomial), log weight
+    # trajectory state: endpoints (+ their density/gradient), sampled point
+    # (multinomial, + its density/gradient), log weight
     state = {
         "theta_minus": theta, "r_minus": momentum,
+        "lp_minus": logp, "g_minus": grad,
         "theta_plus": theta, "r_plus": momentum,
-        "sample": theta, "logw_sum": jnp.asarray(0.0, theta.dtype),
+        "lp_plus": logp, "g_plus": grad,
+        "sample": theta, "sample_lp": logp, "sample_g": grad,
+        "logw_sum": jnp.asarray(0.0, theta.dtype),
         "turned": jnp.asarray(False),
         "sum_accept": jnp.asarray(0.0, theta.dtype),
         "n_steps": jnp.asarray(0.0, theta.dtype),
@@ -179,11 +195,14 @@ def _nuts_step(vg, theta, logp, key, step, inv_mass, max_depth):
             go_right = jax.random.bernoulli(kdir)
             th0 = jnp.where(go_right, state["theta_plus"], state["theta_minus"])
             r0 = jnp.where(go_right, state["r_plus"], -state["r_minus"])
+            lp0 = jnp.where(go_right, state["lp_plus"], state["lp_minus"])
+            g0 = jnp.where(go_right, state["g_plus"], state["g_minus"])
 
             def leap(carry, _):
-                th, r, logw, samp, key2, sum_a = carry
-                th, r = _leapfrog(vg, th, r, step, inv_mass, 1)
-                lp, _ = vg(th)
+                th, r, lp, g, logw, samp, samp_lp, samp_g, key2, sum_a = carry
+                th, r, (lp, g) = _leapfrog(
+                    vg, th, r, step, inv_mass, 1, (lp, g)
+                )
                 logw_new = lp - _kinetic(r, inv_mass) - h0
                 logw_new = jnp.where(
                     jnp.isnan(logw_new), -jnp.inf, logw_new
@@ -196,13 +215,18 @@ def _nuts_step(vg, theta, logp, key, step, inv_mass, max_depth):
                     logw_new - total
                 )
                 samp = jnp.where(take, th, samp)
-                return (th, r, total, samp, key2, sum_a), None
+                samp_lp = jnp.where(take, lp, samp_lp)
+                samp_g = jnp.where(take, g, samp_g)
+                return (th, r, lp, g, total, samp, samp_lp, samp_g, key2,
+                        sum_a), None
 
-            (th_end, r_end, logw_seg, samp_seg, _, sum_a), _ = (
+            (th_end, r_end, lp_end, g_end, logw_seg, samp_seg, samp_lp_seg,
+             samp_g_seg, _, sum_a), _ = (
                 jax.lax.scan(
                     leap,
-                    (th0, r0, -jnp.inf * jnp.ones((), theta.dtype),
-                     th0, ksel, jnp.asarray(0.0, theta.dtype)),
+                    (th0, r0, lp0, g0,
+                     -jnp.inf * jnp.ones((), theta.dtype),
+                     th0, lp0, g0, ksel, jnp.asarray(0.0, theta.dtype)),
                     None,
                     length=n_sub,
                 )
@@ -212,8 +236,12 @@ def _nuts_step(vg, theta, logp, key, step, inv_mass, max_depth):
                 go_right, state["theta_minus"], th_end
             )
             r_minus = jnp.where(go_right, state["r_minus"], -r_end)
+            lp_minus = jnp.where(go_right, state["lp_minus"], lp_end)
+            g_minus = jnp.where(go_right, state["g_minus"], g_end)
             theta_plus = jnp.where(go_right, th_end, state["theta_plus"])
             r_plus = jnp.where(go_right, r_end, state["r_plus"])
+            lp_plus = jnp.where(go_right, lp_end, state["lp_plus"])
+            g_plus = jnp.where(go_right, g_end, state["g_plus"])
 
             dtheta = theta_plus - theta_minus
             turned = (
@@ -230,15 +258,19 @@ def _nuts_step(vg, theta, logp, key, step, inv_mass, max_depth):
                 logw_seg - total
             )
             keep = ~(turned | diverged)
-            sample = jnp.where(
-                keep & take_new, samp_seg, state["sample"]
-            )
+            take = keep & take_new
             return {
                 "theta_minus": jnp.where(keep, theta_minus, state["theta_minus"]),
                 "r_minus": jnp.where(keep, r_minus, state["r_minus"]),
+                "lp_minus": jnp.where(keep, lp_minus, state["lp_minus"]),
+                "g_minus": jnp.where(keep, g_minus, state["g_minus"]),
                 "theta_plus": jnp.where(keep, theta_plus, state["theta_plus"]),
                 "r_plus": jnp.where(keep, r_plus, state["r_plus"]),
-                "sample": sample,
+                "lp_plus": jnp.where(keep, lp_plus, state["lp_plus"]),
+                "g_plus": jnp.where(keep, g_plus, state["g_plus"]),
+                "sample": jnp.where(take, samp_seg, state["sample"]),
+                "sample_lp": jnp.where(take, samp_lp_seg, state["sample_lp"]),
+                "sample_g": jnp.where(take, samp_g_seg, state["sample_g"]),
                 "logw_sum": jnp.where(keep, total, state["logw_sum"]),
                 "turned": turned | diverged,
                 "sum_accept": state["sum_accept"] + sum_a,
@@ -251,10 +283,9 @@ def _nuts_step(vg, theta, logp, key, step, inv_mass, max_depth):
     for level in range(max_depth):
         state = extend(level, state)
 
-    new_theta = state["sample"]
-    new_logp, _ = vg(new_theta)
     accept_stat = state["sum_accept"] / jnp.maximum(state["n_steps"], 1.0)
-    return new_theta, new_logp, key, accept_stat
+    return (state["sample"], state["sample_lp"], state["sample_g"], key,
+            accept_stat)
 
 
 def nuts(logdensity: Callable, init, key, num_samples: int = 1000,
@@ -265,46 +296,46 @@ def nuts(logdensity: Callable, init, key, num_samples: int = 1000,
     diagonal mass matrix. Returns (samples, info)."""
     vg = jax.value_and_grad(logdensity)
     dim = init.shape[0]
-    logp0, _ = vg(init)
+    logp0, grad0 = vg(init)
 
     def warmup_step(carry, _):
-        theta, logp, key, da, mean, m2, count = carry
+        theta, logp, grad, key, da, mean, m2, count = carry
         step = jnp.exp(da.log_step)
         inv_mass = jnp.where(
             count > 10.0,
             jnp.maximum(m2 / jnp.maximum(count - 1.0, 1.0), 1e-6),
             jnp.ones(dim, theta.dtype),
         )
-        theta, logp, key, accept = _nuts_step(
-            vg, theta, logp, key, step, inv_mass, max_depth
+        theta, logp, grad, key, accept = _nuts_step(
+            vg, theta, logp, grad, key, step, inv_mass, max_depth
         )
         da = _da_update(da, accept, target=target_accept)
         count = count + 1.0
         delta = theta - mean
         mean = mean + delta / count
         m2 = m2 + delta * (theta - mean)
-        return (theta, logp, key, da, mean, m2, count), accept
+        return (theta, logp, grad, key, da, mean, m2, count), accept
 
     da0 = _da_init(jnp.asarray(initial_step, init.dtype))
     carry = (
-        init, logp0, key, da0, jnp.zeros(dim, init.dtype),
+        init, logp0, grad0, key, da0, jnp.zeros(dim, init.dtype),
         jnp.zeros(dim, init.dtype), jnp.asarray(0.0, init.dtype),
     )
     carry, warm_accept = jax.lax.scan(warmup_step, carry, None,
                                       length=num_warmup)
-    theta, logp, key, da, mean, m2, count = carry
+    theta, logp, grad, key, da, mean, m2, count = carry
     step = jnp.exp(da.log_step_avg)
     inv_mass = jnp.maximum(m2 / jnp.maximum(count - 1.0, 1.0), 1e-6)
 
     def sample_step(carry, _):
-        theta, logp, key = carry
-        theta, logp, key, accept = _nuts_step(
-            vg, theta, logp, key, step, inv_mass, max_depth
+        theta, logp, grad, key = carry
+        theta, logp, grad, key, accept = _nuts_step(
+            vg, theta, logp, grad, key, step, inv_mass, max_depth
         )
-        return (theta, logp, key), (theta, accept)
+        return (theta, logp, grad, key), (theta, accept)
 
     _, (samples, accepts) = jax.lax.scan(
-        sample_step, (theta, logp, key), None, length=num_samples
+        sample_step, (theta, logp, grad, key), None, length=num_samples
     )
     info = {
         "step_size": step,

@@ -43,13 +43,13 @@ def smc(logprior, loglik, init_particles, key, num_steps: int = 20,
         vg = jax.value_and_grad(lambda t: tempered(t, beta))
 
         def one(carry, k):
-            th, lp = carry
+            th, lp, g = carry
             km, ku = jax.random.split(k)
             mom = jax.random.normal(km, (dim,), th.dtype)
-            new_th, new_mom = _leapfrog(
-                vg, th, mom, step_size, jnp.ones(dim, th.dtype), leapfrog_steps
+            new_th, new_mom, (new_lp, new_g) = _leapfrog(
+                vg, th, mom, step_size, jnp.ones(dim, th.dtype),
+                leapfrog_steps, (lp, g)
             )
-            new_lp, _ = vg(new_th)
             delta = new_lp - lp - _kinetic(new_mom, jnp.ones(dim)) + _kinetic(
                 mom, jnp.ones(dim)
             )
@@ -58,11 +58,12 @@ def smc(logprior, loglik, init_particles, key, num_steps: int = 20,
             accept = jax.random.uniform(ku, (), th.dtype) < ap
             th = jnp.where(accept, new_th, th)
             lp = jnp.where(accept, new_lp, lp)
-            return (th, lp), ap
+            g = jnp.where(accept, new_g, g)
+            return (th, lp, g), ap
 
-        lp0, _ = vg(theta)
-        (theta, _), _ = jax.lax.scan(
-            one, (theta, lp0), jax.random.split(key, mutation_steps)
+        lp0, g0 = vg(theta)
+        (theta, _, _), _ = jax.lax.scan(
+            one, (theta, lp0, g0), jax.random.split(key, mutation_steps)
         )
         return theta
 

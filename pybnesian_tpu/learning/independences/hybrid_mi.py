@@ -31,6 +31,14 @@ def entropy_mvn(d: int, cov_det: float) -> float:
     return 0.5 * d + 0.5 * d * _LOG_2PI + 0.5 * math.log(cov_det)
 
 
+def _entropy_mvn_vec(d: int, cov_dets: np.ndarray) -> np.ndarray:
+    """Vectorized :func:`entropy_mvn`: −inf where the determinant is
+    non-positive or NaN."""
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out = 0.5 * d * (1.0 + _LOG_2PI) + 0.5 * np.log(cov_dets)
+    return np.where(cov_dets > 0, out, -np.inf)
+
+
 class MutualInformation(IndependenceTest):
     def __init__(self, df, asymptotic_df: bool = True):
         self.df = DataFrame.wrap(df)
@@ -65,21 +73,46 @@ class MutualInformation(IndependenceTest):
         return idx, stride, cards
 
     def _grouped_cov_dets(self, cont_vars, config_idx, n_configs, valid):
-        """Per-config determinant of the ddof-1 covariance of cont_vars."""
+        """Per-config determinant of the ddof-1 covariance of cont_vars.
+
+        ONE pass over the rows: per-config counts, sums and outer-product
+        sums accumulate through weighted ``bincount`` (the reference does
+        the equivalent single grouped pass in C++,
+        mutual_information.cpp:958-1033); the per-config covariances then
+        assemble from raw moments and a stacked ``det`` finishes. Cost is
+        O(n·d²) independent of the number of configurations — the previous
+        per-config full-array masking was O(n_configs · n). Columns are
+        globally centred first so the raw-moment assembly has no
+        catastrophic cancellation."""
         d = len(cont_vars)
         dets = np.full(n_configs, np.nan)
         if d == 0:
             return dets
         mat = self.df.to_numpy(cont_vars, drop_null=False, dtype=np.float64)
-        for k in range(n_configs):
-            rows = valid & (config_idx == k)
-            n = int(rows.sum())
-            if n <= d:
-                continue
-            sub = mat[rows]
-            centred = sub - sub.mean(axis=0, keepdims=True)
-            cov = centred.T @ centred / (n - 1)
-            dets[k] = np.linalg.det(cov)
+        sub = mat[valid]
+        idx = config_idx[valid]
+        cnt = np.bincount(idx, minlength=n_configs)
+        ok = cnt > d
+        if not ok.any():
+            return dets
+        sub = sub - sub.mean(axis=0, keepdims=True)
+        sums = np.empty((n_configs, d))
+        for j in range(d):
+            sums[:, j] = np.bincount(idx, weights=sub[:, j],
+                                     minlength=n_configs)
+        sq = np.empty((n_configs, d, d))
+        for j in range(d):
+            for l in range(j, d):
+                s = np.bincount(idx, weights=sub[:, j] * sub[:, l],
+                                minlength=n_configs)
+                sq[:, j, l] = s
+                sq[:, l, j] = s
+        nk = cnt[ok].astype(np.float64)
+        mean = sums[ok] / nk[:, None]
+        cov = (
+            sq[ok] - nk[:, None, None] * mean[:, :, None] * mean[:, None, :]
+        ) / (nk - 1.0)[:, None, None]
+        dets[ok] = np.linalg.det(cov)
         return dets
 
     # ------------------------------------------------------------ marginal
@@ -160,20 +193,14 @@ class MutualInformation(IndependenceTest):
             zc, ky, kx
         )
         n = counts.sum()
-        mi = 0.0
-        for k in range(zc):
-            tab = counts[k]
-            nz_tot = tab.sum()
-            if nz_tot == 0:
-                continue
-            pz = nz_tot / n
-            pxz = tab.sum(axis=0) / n
-            pyz = tab.sum(axis=1) / n
-            pxyz = tab / n
-            pos = pxyz > 0
-            ratio = pz * pxyz / np.outer(pyz, pxz)
-            mi += float(np.sum(pxyz[pos] * np.log(ratio[pos])))
-        return mi
+        pz = counts.sum(axis=(1, 2), keepdims=True) / n       # (zc,1,1)
+        pxz = counts.sum(axis=1, keepdims=True) / n           # (zc,1,kx)
+        pyz = counts.sum(axis=2, keepdims=True) / n           # (zc,ky,1)
+        pxyz = counts / n
+        pos = pxyz > 0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ratio = np.log(pz * pxyz / (pyz * pxz))
+        return float(np.sum(pxyz[pos] * ratio[pos]))
 
     def _cmi_both_continuous(self, x, y, dz, cz) -> float:
         """x, y continuous (reference cmi_general_both_continuous)."""
@@ -184,20 +211,17 @@ class MutualInformation(IndependenceTest):
         det_xyz = self._grouped_cov_dets([x, y, *cz], zidx, zc, valid)
         det_xz = self._grouped_cov_dets([x, *cz], zidx, zc, valid)
         det_yz = self._grouped_cov_dets([y, *cz], zidx, zc, valid)
-        det_z = self._grouped_cov_dets(cz, zidx, zc, valid) if cz else None
-        mi = 0.0
-        for k in range(zc):
-            if counts[k] == 0:
-                continue
-            pz = counts[k] / n
-            h_xyz = entropy_mvn(len(cz) + 2, det_xyz[k])
-            h_xz = entropy_mvn(len(cz) + 1, det_xz[k])
-            h_yz = entropy_mvn(len(cz) + 1, det_yz[k])
-            term = h_xz + h_yz - h_xyz
-            if cz:
-                term -= entropy_mvn(len(cz), det_z[k])
-            if math.isfinite(term):
-                mi += pz * term
+        term = (
+            _entropy_mvn_vec(len(cz) + 1, det_xz)
+            + _entropy_mvn_vec(len(cz) + 1, det_yz)
+            - _entropy_mvn_vec(len(cz) + 2, det_xyz)
+        )
+        if cz:
+            term = term - _entropy_mvn_vec(
+                len(cz), self._grouped_cov_dets(cz, zidx, zc, valid)
+            )
+        use = (counts > 0) & np.isfinite(term)
+        mi = float(np.sum((counts[use] / n) * term[use]))
         return max(mi, 0.0)
 
     def _cmi_mixed(self, xd, yc, dz, cz) -> float:
@@ -211,38 +235,32 @@ class MutualInformation(IndependenceTest):
         counts_xz = np.bincount(xz_idx[valid], minlength=kx * zc_n)
         counts_z = np.bincount(zidx[valid], minlength=zc_n)
         det_y_cz_given_xz = self._grouped_cov_dets([yc, *cz], xz_idx, kx * zc_n, valid)
-        det_cz_given_xz = (
-            self._grouped_cov_dets(cz, xz_idx, kx * zc_n, valid) if cz else None
-        )
         det_y_cz_given_z = self._grouped_cov_dets([yc, *cz], zidx, zc_n, valid)
-        det_cz_given_z = (
-            self._grouped_cov_dets(cz, zidx, zc_n, valid) if cz else None
-        )
-        mi = 0.0
-        for k in range(zc_n):
-            if counts_z[k] == 0:
-                continue
-            pz = counts_z[k] / n
-            for i in range(kx):
-                idx = k * kx + i
-                cnt = counts_xz[idx]
-                if cnt == 0:
-                    continue
-                pxz = cnt / n
-                h_xyz = entropy_mvn(len(cz) + 1, det_y_cz_given_xz[idx])
-                if math.isfinite(h_xyz):
-                    mi -= pxz * h_xyz
-                if cz:
-                    h_xz = entropy_mvn(len(cz), det_cz_given_xz[idx])
-                    if math.isfinite(h_xz):
-                        mi += pxz * h_xz
-            h_yz = entropy_mvn(len(cz) + 1, det_y_cz_given_z[k])
-            if math.isfinite(h_yz):
-                mi += pz * h_yz
-            if cz:
-                h_z = entropy_mvn(len(cz), det_cz_given_z[k])
-                if math.isfinite(h_z):
-                    mi -= pz * h_z
+
+        def _add(weights, counts_sel, h):
+            use = (counts_sel > 0) & np.isfinite(h)
+            return float(np.sum(weights[use] * h[use]))
+
+        pxz = counts_xz / n
+        pz = counts_z / n
+        mi = -_add(pxz, counts_xz,
+                   _entropy_mvn_vec(len(cz) + 1, det_y_cz_given_xz))
+        mi += _add(pz, counts_z,
+                   _entropy_mvn_vec(len(cz) + 1, det_y_cz_given_z))
+        if cz:
+            mi += _add(
+                pxz, counts_xz,
+                _entropy_mvn_vec(
+                    len(cz),
+                    self._grouped_cov_dets(cz, xz_idx, kx * zc_n, valid),
+                ),
+            )
+            mi -= _add(
+                pz, counts_z,
+                _entropy_mvn_vec(
+                    len(cz), self._grouped_cov_dets(cz, zidx, zc_n, valid)
+                ),
+            )
         return max(mi, 0.0)
 
     def _cmi_both_discrete(self, x, y, dz, cz) -> float:
@@ -261,47 +279,40 @@ class MutualInformation(IndependenceTest):
         counts_xz = np.bincount(xz_idx[valid], minlength=kx * zc_n)
         counts_yz = np.bincount(yz_idx[valid], minlength=ky * zc_n)
         counts_z = np.bincount(zidx[valid], minlength=zc_n)
-        det_xyz = self._grouped_cov_dets(cz, xyz_idx, kx * ky * zc_n, valid)
-        det_xz = self._grouped_cov_dets(cz, xz_idx, kx * zc_n, valid)
-        det_yz = self._grouped_cov_dets(cz, yz_idx, ky * zc_n, valid)
-        det_z = self._grouped_cov_dets(cz, zidx, zc_n, valid)
-        mi = 0.0
         dcz = len(cz)
-        for k in range(zc_n):
-            if counts_z[k] == 0:
-                continue
-            pz = counts_z[k] / n
-            for i in range(kx):
-                for j in range(ky):
-                    idx = k * kx * ky + j * kx + i
-                    cnt = counts_xyz[idx]
-                    if cnt == 0:
-                        continue
-                    pxyz = cnt / n
-                    pxz = counts_xz[k * kx + i] / n
-                    pyz = counts_yz[k * ky + j] / n
-                    h_xyz = entropy_mvn(dcz, det_xyz[idx])
-                    term = math.log(pz * pxyz / (pxz * pyz))
-                    if math.isfinite(h_xyz):
-                        term -= h_xyz
-                    mi += pxyz * term
-            for i in range(kx):
-                cnt = counts_xz[k * kx + i]
-                if cnt == 0:
-                    continue
-                h_xz = entropy_mvn(dcz, det_xz[k * kx + i])
-                if math.isfinite(h_xz):
-                    mi += (cnt / n) * h_xz
-            for j in range(ky):
-                cnt = counts_yz[k * ky + j]
-                if cnt == 0:
-                    continue
-                h_yz = entropy_mvn(dcz, det_yz[k * ky + j])
-                if math.isfinite(h_yz):
-                    mi += (cnt / n) * h_yz
-            h_z = entropy_mvn(dcz, det_z[k])
-            if math.isfinite(h_z):
-                mi -= pz * h_z
+        h_xyz = _entropy_mvn_vec(
+            dcz, self._grouped_cov_dets(cz, xyz_idx, kx * ky * zc_n, valid)
+        ).reshape(zc_n, ky, kx)
+        h_xz = _entropy_mvn_vec(
+            dcz, self._grouped_cov_dets(cz, xz_idx, kx * zc_n, valid)
+        ).reshape(zc_n, kx)
+        h_yz = _entropy_mvn_vec(
+            dcz, self._grouped_cov_dets(cz, yz_idx, ky * zc_n, valid)
+        ).reshape(zc_n, ky)
+        h_z = _entropy_mvn_vec(
+            dcz, self._grouped_cov_dets(cz, zidx, zc_n, valid)
+        )
+
+        # layouts: xyz_idx = i + kx·j + kx·ky·k → (zc, ky, kx)
+        cxyz = counts_xyz.reshape(zc_n, ky, kx)
+        cxz3 = counts_xz.reshape(zc_n, kx)
+        cyz3 = counts_yz.reshape(zc_n, ky)
+        pxyz = cxyz / n
+        with np.errstate(invalid="ignore", divide="ignore"):
+            term = np.log(
+                (counts_z / n)[:, None, None] * pxyz
+                / ((cxz3 / n)[:, None, :] * (cyz3 / n)[:, :, None])
+            )
+        term = term - np.where(np.isfinite(h_xyz), h_xyz, 0.0)
+        pos = cxyz > 0
+        mi = float(np.sum(pxyz[pos] * term[pos]))
+
+        use = (cxz3 > 0) & np.isfinite(h_xz)
+        mi += float(np.sum((cxz3[use] / n) * h_xz[use]))
+        use = (cyz3 > 0) & np.isfinite(h_yz)
+        mi += float(np.sum((cyz3[use] / n) * h_yz[use]))
+        use = (counts_z > 0) & np.isfinite(h_z)
+        mi -= float(np.sum((counts_z[use] / n) * h_z[use]))
         return max(mi, 0.0)
 
     # --------------------------------------------------- degrees of freedom

@@ -327,10 +327,10 @@ class RCoT(IndependenceTest):
         return _pvalue_from_eigs(eigs, sta)
 
     # ------------------------------------------------------- batched path
-    # f32-element budget per launch (~2 GB of intermediates); the dominant
+    # f32-element budget per launch (~4 GB of intermediates); the dominant
     # per-test footprint is the (n, num_z) z-feature block plus the
     # (n, num_xy²) residual product.
-    _ELEM_BUDGET = 500_000_000
+    _ELEM_BUDGET = 1_000_000_000
 
     def _full_col(self, name: str) -> np.ndarray:
         col = self._col_cache.get(name)
@@ -389,8 +389,12 @@ class RCoT(IndependenceTest):
             dp = 1
             while dp < size:
                 dp *= 2
-            per_test = n * (dp + 6 * self.num_xy + 2 * self.num_z
-                            + 2 * self.num_xy * self.num_xy)
+            if size == 0:
+                per_test = n * (4 * self.num_xy
+                                + 2 * self.num_xy * self.num_xy)
+            else:
+                per_test = n * (dp + 6 * self.num_xy + 2 * self.num_z
+                                + 2 * self.num_xy * self.num_xy)
             bmax = max(1, self._ELEM_BUDGET // per_test)
             # keep launch shapes pow2-bucketed: chunk at a pow2 size and
             # pad only the final partial chunk up to the next pow2

@@ -100,17 +100,17 @@ def nuts_checkpointed(logdensity, init, key, checkpoint_dir: str,
     vg = jax.value_and_grad(logdensity)
 
     def block(theta, key, step, inv_mass):
-        logp, _ = vg(theta)
+        logp, grad = vg(theta)
 
         def sample_step(carry, _):
-            theta, logp, key = carry
-            theta, logp, key, accept = _nuts_step(
-                vg, theta, logp, key, step, inv_mass, max_depth
+            theta, logp, grad, key = carry
+            theta, logp, grad, key, accept = _nuts_step(
+                vg, theta, logp, grad, key, step, inv_mass, max_depth
             )
-            return (theta, logp, key), (theta, accept)
+            return (theta, logp, grad, key), (theta, accept)
 
-        (theta, _, key), (samples, accepts) = jax.lax.scan(
-            sample_step, (theta, logp, key), None, length=block_size
+        (theta, _, _, key), (samples, accepts) = jax.lax.scan(
+            sample_step, (theta, logp, grad, key), None, length=block_size
         )
         return theta, key, samples, jnp.mean(accepts)
 
