@@ -50,7 +50,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from pybnesian_tpu.inference import sample_chains_sharded
-from pybnesian_tpu.parallel import make_mesh, sharded_ckde_cv
+from pybnesian_tpu.parallel import (
+    make_mesh,
+    sharded_batched_bic,
+    sharded_ckde_cv,
+    sharded_kde_slogl,
+)
 
 N_ROWS, D, K = 4000, 4, 5
 FAMS_PER_DEV = 8
@@ -118,6 +123,54 @@ def bench_ckde(mesh_size, reps=3, n_fams=None):
     return n_fams / elapsed
 
 
+def bench_bic_data_axis(mesh_size, reps=3, n_rows=65536, n_fams=32, d=8):
+    """FIXED total work with rows sharded over 'data': per-shard Grams are
+    psum-reduced over the mesh — this measures the collective-bearing path
+    (the fam axis is collective-free)."""
+    mesh = make_mesh({"data": mesh_size, "fam": 1})
+    rng = np.random.default_rng(1)
+    values = jnp.asarray(rng.normal(size=(n_rows, d)).astype(np.float32))
+    valid = jnp.ones((n_rows, d), jnp.float32)
+    var_idx = jnp.asarray(np.arange(n_fams, dtype=np.int32) % d)
+    parent_idx = jnp.asarray(
+        np.stack([(np.arange(n_fams) + 1) % d,
+                  (np.arange(n_fams) + 2) % d], 1).astype(np.int32)
+    )
+    parent_mask = jnp.asarray(np.ones((n_fams, 2), np.float32))
+    np.asarray(sharded_batched_bic(
+        mesh, values, valid, var_idx, parent_idx, parent_mask
+    ))  # compile
+    per_rep = [
+        jax.device_put(values + (r + 1) * 1e-6) for r in range(reps)
+    ]
+    t0 = time.time()
+    for v in per_rep:
+        out = np.asarray(sharded_batched_bic(
+            mesh, v, valid, var_idx, parent_idx, parent_mask
+        ))
+    elapsed = (time.time() - t0) / reps
+    assert np.all(np.isfinite(out))
+    return n_fams / elapsed
+
+
+def bench_kde_data_axis(mesh_size, reps=3, n_train=16384, n_test=1024, d=3):
+    """FIXED total work with KDE training points sharded over 'data': the
+    pmax + psum distributed logsumexp is the collective under test."""
+    mesh = make_mesh({"data": mesh_size, "fam": 1})
+    rng = np.random.default_rng(2)
+    tr = jnp.asarray(rng.normal(size=(n_train, d)).astype(np.float32))
+    te = jnp.asarray(rng.normal(size=(n_test, d)).astype(np.float32))
+    ln = jnp.float32(-1.0)
+    float(sharded_kde_slogl(mesh, tr, te, ln))  # compile
+    per_rep = [jax.device_put(tr + (r + 1) * 1e-6) for r in range(reps)]
+    t0 = time.time()
+    for trr in per_rep:
+        out = float(sharded_kde_slogl(mesh, trr, te, ln))
+    elapsed = (time.time() - t0) / reps
+    assert np.isfinite(out)
+    return n_test / elapsed
+
+
 def bench_nuts(mesh_size, num_samples=50):
     mesh = make_mesh({"data": mesh_size})
 
@@ -160,6 +213,12 @@ def main():
     rate_mesh8 = bench_ckde(8, n_fams=total_f)
     rate_mesh1 = bench_ckde(1, n_fams=total_f)
     part_eff = rate_mesh8 / rate_mesh1
+    # 3. data-axis partition efficiency: the SAME total work with rows /
+    #    training points sharded over 'data' — exercises the psum Grams
+    #    (BIC) and pmax+psum logsumexp (KDE) collectives, which the
+    #    collective-free fam axis never touches.
+    bic_eff = bench_bic_data_axis(8) / bench_bic_data_axis(1)
+    kde_eff = bench_kde_data_axis(8) / bench_kde_data_axis(1)
     cores = os.cpu_count() or 1
     nuts_eff = nuts_rates[8] / (8 * nuts_rates[1])
     print(
@@ -172,6 +231,10 @@ def main():
                     f"workload (virtual CPU mesh, {cores} physical cores)"
                 ),
                 "vs_baseline": round(part_eff / 0.8, 2),
+                "data_axis_partition_efficiency": {
+                    "bic_psum_grams": round(bic_eff, 3),
+                    "kde_distributed_logsumexp": round(kde_eff, 3),
+                },
                 "curve": {
                     "ckde_family_scores_per_s_weak": {
                         str(n): round(r, 1) for n, r in ckde_rates.items()

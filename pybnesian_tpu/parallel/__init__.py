@@ -96,10 +96,14 @@ def sharded_batched_bic(mesh: Mesh, values, valid, var_idx, parent_idx,
         out_specs=P("fam"),
     )
     def kernel(v, m, vi, pi, pm):
-        def one(vi_, pi_, pm_):
-            gram, w = _local_family_gram(v, m, vi_, pi_, pm_)
-            gram = jax.lax.psum(gram, "data")
-            n_eff = jax.lax.psum(w, "data")
+        # all families' shard-local Grams first, then ONE fused psum for
+        # the whole batch — a single ICI collective per score call
+        grams, ws = jax.vmap(
+            lambda vi_, pi_, pm_: _local_family_gram(v, m, vi_, pi_, pm_)
+        )(vi, pi, pm)
+        grams, n_effs = jax.lax.psum((grams, ws), "data")
+
+        def one(gram, n_eff, pm_):
             _, variance, _ = lg_params_from_gram(gram, pm_, n_eff)
             k = jnp.sum(pm_)
             loglik = (
@@ -111,7 +115,7 @@ def sharded_batched_bic(mesh: Mesh, values, valid, var_idx, parent_idx,
             bad = (variance < _MACHINE_TOL) | ~jnp.isfinite(score)
             return jnp.where(bad, -jnp.inf, score)
 
-        return jax.vmap(one)(vi, pi, pm)
+        return jax.vmap(one)(grams, n_effs, pm)
 
     return kernel(values, valid, var_idx, parent_idx, parent_mask)
 
@@ -135,14 +139,16 @@ def sharded_lg_fit(mesh: Mesh, values, valid, var_idx, parent_idx,
         out_specs=(P("fam", None), P("fam")),
     )
     def kernel(v, m, vi, pi, pm):
-        def one(vi_, pi_, pm_):
-            gram, w = _local_family_gram(v, m, vi_, pi_, pm_)
-            gram = jax.lax.psum(gram, "data")
-            n_eff = jax.lax.psum(w, "data")
+        grams, ws = jax.vmap(
+            lambda vi_, pi_, pm_: _local_family_gram(v, m, vi_, pi_, pm_)
+        )(vi, pi, pm)
+        grams, n_effs = jax.lax.psum((grams, ws), "data")
+
+        def one(gram, n_eff, pm_):
             beta, variance, _ = lg_params_from_gram(gram, pm_, n_eff)
             return beta, variance
 
-        return jax.vmap(one)(vi, pi, pm)
+        return jax.vmap(one)(grams, n_effs, pm)
 
     return kernel(values, valid, var_idx, parent_idx, parent_mask)
 
