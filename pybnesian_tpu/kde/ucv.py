@@ -159,6 +159,78 @@ def _device_minimize(scorer: UCVScorer, x0, start_det, start_score,
     return xb if float(fb) <= start_score else np.asarray(x0, np.float64)
 
 
+def ucv_minimize_batch(Xpad, valid, Ns, x0s, d: int, chunk: int = 512):
+    """Batched UCV bandwidth selection: B independent problems — each a
+    padded (npad, d) training block with its own validity mask, row count
+    and vech(chol(H_start)) start — minimized by a vmapped device
+    Nelder–Mead in ONE dispatch. This is the structure-search form of
+    :func:`_device_minimize`: a CV score over F families × K folds has F·K
+    bandwidth problems, and running them as one batch replaces F·K
+    sequential dispatch-bound optimizations (reference kde/UCV.cpp:469-505
+    runs one NLopt loop per factor fit).
+
+    Returns the host-f64 ``(B, nv)`` optimal vech factors; problems whose
+    optimization did not improve on the start keep their start point.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.kde import ucv_pair_sums
+    from ..ops.nelder_mead import nelder_mead
+
+    rows, cols = np.tril_indices(d)
+    nv = x0s.shape[1]
+    log2 = math.log(2.0)
+    max_iter = 200 * nv
+
+    def run(X, v, n, x0):
+        def raw_score(L):
+            logdiag = jnp.log(jnp.abs(jnp.diag(L)) + 1e-300)
+            det = jnp.exp(2.0 * jnp.sum(logdiag))
+            W = jax.scipy.linalg.solve_triangular(L, X.T, lower=True).T
+            s2h, sh = ucv_pair_sums(W, v, chunk=chunk)
+            lognorm_h = -jnp.sum(logdiag) - 0.5 * d * _LOG_2PI
+            lognorm_2h = lognorm_h - 0.5 * d * log2
+            score = (
+                jnp.exp(lognorm_2h)
+                + 2.0 * s2h * jnp.exp(lognorm_2h) / n
+                - 4.0 * sh * jnp.exp(lognorm_h) / (n - 1.0)
+            )
+            return score, det
+
+        def L_of(x):
+            return jnp.zeros((d, d), x.dtype).at[rows, cols].set(x)
+
+        ss, sd = raw_score(L_of(x0))
+
+        def objective(x):
+            score, det = raw_score(L_of(x))
+            bad = (
+                (det <= MACHINE_TOL)
+                | (det < 1e-3 * sd)
+                | (det > 1e3 * sd)
+                | jnp.isnan(det)
+                | jnp.isnan(score)
+                | (jnp.abs(score) > 1e3 * jnp.abs(ss))
+            )
+            return jnp.where(bad, ss + 1e-7, score)
+
+        fatol = 1e-4 * jnp.abs(ss) + 1e-12
+        xatol = 1e-4 * jnp.max(jnp.abs(x0)) + 1e-12
+        xb, fb, _ = nelder_mead(objective, x0, fatol, xatol,
+                                max_iter=max_iter)
+        return xb, fb, ss
+
+    xb, fb, ss = jax.jit(jax.vmap(run))(
+        jnp.asarray(Xpad), jnp.asarray(valid), jnp.asarray(Ns),
+        jnp.asarray(x0s),
+    )
+    xb = np.array(xb, np.float64)  # copy: device arrays are read-only views
+    worse = np.asarray(fb, np.float64) > np.asarray(ss, np.float64)
+    xb[worse] = np.asarray(x0s, np.float64)[worse]
+    return xb
+
+
 class UCV(BandwidthSelector):
     def __init__(self):
         self._nr = NormalReferenceRule()

@@ -196,8 +196,10 @@ class _KFoldEngine:
         return None
 
     def _prepare_ckde_family(self, variable, parents, selector, ntr, nte,
-                             dtype):
-        """Whitened per-fold blocks for one family; None => -inf."""
+                             dtype, h_per_fold=None):
+        """Whitened per-fold blocks for one family; None => -inf.
+        ``h_per_fold`` short-circuits the selector with precomputed
+        bandwidths (one per fold) — the batched-UCV path supplies them."""
         from scipy.linalg import solve_triangular
 
         pos, full_mat, nulls = self._family_arrays()
@@ -225,12 +227,15 @@ class _KFoldEngine:
             if ntr_k <= dj:
                 return None
             try:
-                H = self._rule_bandwidth(selector, train, ntr_k, dj)
-                if H is None:
-                    H = np.asarray(
-                        selector.bandwidth(self.df.take(tr), cols),
-                        dtype=np.float64,
-                    )
+                if h_per_fold is not None:
+                    H = h_per_fold[k]
+                else:
+                    H = self._rule_bandwidth(selector, train, ntr_k, dj)
+                    if H is None:
+                        H = np.asarray(
+                            selector.bandwidth(self.df.take(tr), cols),
+                            dtype=np.float64,
+                        )
                 L = np.linalg.cholesky(H)
             except (SingularCovarianceData, np.linalg.LinAlgError):
                 return None
@@ -309,16 +314,21 @@ class _KFoldEngine:
         import jax.numpy as jnp
 
         from ...kde.bandwidth import NormalReferenceRule, ScottsBandwidth
+        from ...kde.ucv import UCV
 
         chunk = 256
         out = np.empty(len(fams))
         device_groups: dict[tuple, list[int]] = {}
+        ucv_idx: list[int] = []
         fallback: list[int] = []
         for i, (v, ps, selector) in enumerate(fams):
             if type(selector) is NormalReferenceRule:
                 rule = "nr"
             elif type(selector) is ScottsBandwidth:
                 rule = "scott"
+            elif type(selector) is UCV:
+                ucv_idx.append(i)
+                continue
             else:
                 fallback.append(i)
                 continue
@@ -374,14 +384,98 @@ class _KFoldEngine:
                 vals[~np.isfinite(vals)] = -math.inf
                 out[np.array(idxs)] = vals
 
+        if ucv_idx:
+            out[np.array(ucv_idx)] = self._ckde_ucv_batch(
+                [fams[i] for i in ucv_idx], chunk
+            )
         if fallback:
             out[np.array(fallback)] = self._ckde_host_batch(
                 [fams[i] for i in fallback], chunk
             )
         return out
 
-    def _ckde_host_batch(self, fams, chunk=256) -> np.ndarray:
-        """Host-whitened path for user-defined bandwidth selectors."""
+    def _ckde_ucv_batch(self, fams, chunk=256) -> np.ndarray:
+        """UCV-selected CKDE families on the batched device pipeline: every
+        (family, fold) bandwidth problem runs through ONE vmapped device
+        Nelder–Mead (:func:`pybnesian_tpu.kde.ucv.ucv_minimize_batch`), and
+        the optimal factors feed the standard whitened-parts scoring
+        kernels. Replaces F·K sequential dispatch-bound optimizations
+        (reference kde/UCV.cpp runs one NLopt loop per factor fit)."""
+        from ...kde.ucv import invvech_triangular, ucv_minimize_batch, vech
+
+        pos, full_mat, nulls = self._family_arrays()
+        K = len(self.folds)
+        out = np.full(len(fams), -math.inf)
+        probs_by_dj: dict[int, list] = {}
+        for i, (v, ps, _sel) in enumerate(fams):
+            cols = [v, *ps]
+            cidx = [pos[c] for c in cols]
+            valid = ~nulls[:, cidx].any(axis=1)
+            dj = len(cols)
+            trains = []
+            ok = True
+            for (tr, _te) in self.folds:
+                trk = tr[valid[tr]]
+                train = full_mat[np.ix_(trk, cidx)]
+                n_k = len(train)
+                if n_k <= dj:
+                    ok = False
+                    break
+                # normal-reference start (UCV.cpp:400: NR is the x0)
+                knr = (4.0 / (n_k * (dj + 2.0))) ** (2.0 / (dj + 4.0))
+                H0 = knr * np.cov(train, rowvar=False, ddof=1).reshape(
+                    dj, dj
+                )
+                try:
+                    L0 = np.linalg.cholesky(H0)
+                except np.linalg.LinAlgError:
+                    ok = False
+                    break
+                trains.append((train, L0))
+            if ok:
+                probs_by_dj.setdefault(dj, []).append((i, trains))
+
+        h_maps: dict[int, list] = {}
+        ucv_chunk = 512
+        for dj, entries in probs_by_dj.items():
+            B = len(entries) * K
+            nv = dj * (dj + 1) // 2
+            max_n = max(
+                len(train) for (_i, trains) in entries
+                for (train, _L) in trains
+            )
+            npad = -(-max(max_n, 1) // ucv_chunk) * ucv_chunk
+            Xpad = np.zeros((B, npad, dj))
+            validm = np.zeros((B, npad))
+            Ns = np.zeros(B)
+            x0s = np.zeros((B, nv))
+            for b, (_i, trains) in enumerate(entries):
+                for k, (train, L0) in enumerate(trains):
+                    row = b * K + k
+                    Xpad[row, : len(train)] = train
+                    validm[row, : len(train)] = 1.0
+                    Ns[row] = len(train)
+                    x0s[row] = vech(L0)
+            xb = ucv_minimize_batch(Xpad, validm, Ns, x0s, dj,
+                                    chunk=ucv_chunk)
+            for b, (i, _trains) in enumerate(entries):
+                hs = []
+                for k in range(K):
+                    L = invvech_triangular(xb[b * K + k])
+                    hs.append(L @ L.T)
+                h_maps[i] = hs
+
+        if h_maps:
+            idxs = sorted(h_maps)
+            out[np.array(idxs)] = self._ckde_host_batch(
+                [fams[i] for i in idxs], chunk,
+                h_maps=[h_maps[i] for i in idxs],
+            )
+        return out
+
+    def _ckde_host_batch(self, fams, chunk=256, h_maps=None) -> np.ndarray:
+        """Host-whitened path for user-defined bandwidth selectors (or for
+        precomputed per-fold bandwidths via ``h_maps``)."""
         import jax.numpy as jnp
 
         from ...ops.kde import batched_ckde_cv_slogl, batched_kde_cv_slogl
@@ -393,7 +487,10 @@ class _KFoldEngine:
         groups: dict[int, list[int]] = {}
         prepared = {}
         for i, (v, ps, selector) in enumerate(fams):
-            arrs = self._prepare_ckde_family(v, ps, selector, ntr, nte, dtype)
+            arrs = self._prepare_ckde_family(
+                v, ps, selector, ntr, nte, dtype,
+                h_per_fold=None if h_maps is None else h_maps[i],
+            )
             if arrs is None:
                 out[i] = -math.inf
                 continue
