@@ -11,10 +11,16 @@ this is a handful of (N × 100) matmuls, MXU-friendly.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from ...data import DataFrame
-from ...utils.chisquaresum import hbe_complement, lpb4_complement
+from ...utils.chisquaresum import (
+    chisq_sum_pvalues_batch,
+    hbe_complement,
+    lpb4_complement,
+)
 from .base import DynamicIndependenceTest, IndependenceTest
 
 __all__ = ["RCoT", "DynamicRCoT"]
@@ -79,18 +85,26 @@ def random_fourier_features(m: np.ndarray, sigma: float, num_features: int,
 
 
 
+_TRIU_CACHE: dict[int, tuple] = {}
+
+
 def _rf_sigma_cols(m: np.ndarray) -> float:
     """``rf_sigma`` via the Gram trick (a²+b²−2ab in f64 — no cancellation
-    trouble at 500 rows): same median, O(r²·d) flops through BLAS instead of
-    an (r, r, d) broadcast."""
+    trouble at 500 rows): O(r²·d) flops through BLAS instead of an
+    (r, r, d) broadcast, and the median taken on SQUARED distances
+    (median commutes with the monotone sqrt) so the 125k-element sqrt
+    disappears."""
     if m.ndim == 1:
         m = m[:, None]
     r = min(500, len(m))
     sub = np.asarray(m[:r], np.float64)
     sq = np.einsum("ij,ij->i", sub, sub)
     d2 = sq[:, None] + sq[None, :] - 2.0 * (sub @ sub.T)
-    iu = np.triu_indices(r, k=1)
-    med = float(np.median(np.sqrt(np.maximum(d2[iu], 0.0))))
+    iu = _TRIU_CACHE.get(r)
+    if iu is None:
+        iu = np.triu_indices(r, k=1)
+        _TRIU_CACHE[r] = iu
+    med = math.sqrt(max(float(np.median(d2[iu])), 0.0))
     return med if med != 0 else 1.0
 
 
@@ -109,14 +123,16 @@ def _batched_kernels():
         sd = jnp.where(sd == 0, 1.0, sd)
         return (feat - mean) / sd
 
-    def _feat1(X, W, b):
-        # X: (B, n), W/b: (B, f) → (B, n, f)
+    def _feat1(data, col, W, b):
+        # data: (n, C) device-resident; col: (B,) column gather; W/b: (B, f)
+        X = data[:, col].T  # (B, n)
         return _nrm(jnp.sqrt(2.0) * jnp.cos(
             X[:, :, None] * W[:, None, :] + b[:, None, :]
         ))
 
-    def _featk(Z, W, b):
-        # Z: (B, n, d), W: (B, d, f), b: (B, f) → (B, n, f)
+    def _featk(data, cols, cmask, W, b):
+        # data: (n, C); cols: (B, d) gather + (B, d) pad mask; W: (B, d, f)
+        Z = jnp.transpose(data[:, cols], (1, 0, 2)) * cmask[:, None, :]
         prod = jnp.einsum("bnd,bdf->bnf", Z, W)
         return _nrm(jnp.sqrt(2.0) * jnp.cos(prod + b[:, None, :]))
 
@@ -140,30 +156,48 @@ def _batched_kernels():
         return jnp.linalg.eigvalsh(covp)
 
     @jax.jit
-    def feat_covs(X, Wx, bx, Y, Wy, by, Z, Wz, bz):
-        n = X.shape[1]
-        fx = _feat1(X, Wx, bx)
-        fy = _feat1(Y, Wy, by)
-        fz = _featk(Z, Wz, bz)
-        return (fx, fy, fz, _cov(fx, fy, n), _cov(fz, fz, n),
-                _cov(fx, fz, n), _cov(fz, fy, n))
+    def fused_z(data, xc, Wx, bx, yc, Wy, by, zc, zm, Wz, bz):
+        """The ENTIRE conditional test in one launch: feature maps,
+        covariances, the (num_z × num_z) conditioning solve, residual
+        products and their eigendecomposition. The ill-conditioned solve
+        runs as a spectral pseudo-inverse (eigh + eigenvalue clamp at
+        1e-6·λmax) — the f32-safe equivalent of the serial path's host
+        f64 LU-with-jitter; directions below the clamp are f32 Gram noise
+        either way. Returns only (B,) statistics and (B, num_xy²)
+        eigenvalues, so the D2H fetch is tiny."""
+        n = data.shape[0]
+        fx = _feat1(data, xc, Wx, bx)
+        fy = _feat1(data, yc, Wy, by)
+        fz = _featk(data, zc, zm, Wz, bz)
+        cxy = _cov(fx, fy, n)
+        czz = _cov(fz, fz, n)
+        cxz = _cov(fx, fz, n)
+        czy = _cov(fz, fy, n)
+        w, U = jnp.linalg.eigh(czz)  # ascending, (B, f), (B, f, f)
+        wmax = w[:, -1:]
+        winv = jnp.where(w > 1e-6 * jnp.maximum(wmax, 0.0), 1.0 / w, 0.0)
+        Ut = jnp.swapaxes(U, 1, 2)
 
-    @jax.jit
-    def resid_eigs(fx, fy, fz, B1, B2):
-        n = fx.shape[1]
+        def apply_inv(rhs):
+            return U @ (winv[:, :, None] * (Ut @ rhs))
+
+        B1 = apply_inv(jnp.swapaxes(cxz, 1, 2))
+        B2 = apply_inv(czy)
+        cxy_z = cxy - cxz @ B2
+        sta = n * jnp.sum(cxy_z**2, axis=(1, 2))
         rx = fx - jnp.einsum("bnf,bfc->bnc", fz, B1)
         ry = fy - jnp.einsum("bnf,bfc->bnc", fz, B2)
-        return _prod_eigs(rx, ry, n)
+        return sta, _prod_eigs(rx, ry, n)
 
     @jax.jit
-    def pair_stats(X, Wx, bx, Y, Wy, by):
-        n = X.shape[1]
-        fx = _feat1(X, Wx, bx)
-        fy = _feat1(Y, Wy, by)
+    def pair_stats(data, xc, Wx, bx, yc, Wy, by):
+        n = data.shape[0]
+        fx = _feat1(data, xc, Wx, bx)
+        fy = _feat1(data, yc, Wy, by)
         cxy = _cov(fx, fy, n)
         return jnp.sum(cxy**2, axis=(1, 2)), _prod_eigs(fx, fy, n)
 
-    return feat_covs, resid_eigs, pair_stats
+    return fused_z, pair_stats
 
 
 _batched = None
@@ -340,6 +374,20 @@ class RCoT(IndependenceTest):
             self._col_cache[name] = col
         return col
 
+    def _device_data(self):
+        """All columns uploaded ONCE as an (n, C) device matrix; batched
+        kernels gather their (x, y, Z) columns on device, so a chunk's H2D
+        traffic is only the small W/b draw — not B stacked copies of
+        100k-row columns through the dispatch tunnel."""
+        if not hasattr(self, "_dev_data"):
+            import jax.numpy as jnp
+
+            names = self.df.column_names()
+            mat = np.column_stack([self._full_col(c) for c in names])
+            self._dev_data = jnp.asarray(mat.astype(np.float32))
+            self._dev_pos = {c: i for i, c in enumerate(names)}
+        return self._dev_data, self._dev_pos
+
     def _sigma1(self, name: str, col: np.ndarray) -> float:
         s = self._sig1.get(name)
         if s is None:
@@ -381,7 +429,7 @@ class RCoT(IndependenceTest):
         global _batched
         if _batched is None:
             _batched = _batched_kernels()
-        feat_covs, resid_eigs, pair_stats = _batched
+        fused_z, pair_stats = _batched
 
         n = self.df.num_rows
         two_pi = 2 * np.pi
@@ -401,6 +449,7 @@ class RCoT(IndependenceTest):
             b_chunk = 1
             while b_chunk * 2 <= bmax:
                 b_chunk *= 2
+            dev, dpos = self._device_data()
             for start in range(0, len(items), b_chunk):
                 chunk = items[start:start + b_chunk]
                 real = len(chunk)
@@ -409,8 +458,10 @@ class RCoT(IndependenceTest):
                     bp *= 2
                 padded = chunk + [chunk[-1]] * (bp - real)
                 rng = self._rng
-                X = np.stack([data[x] for (_, x, _, _) in padded])
-                Y = np.stack([data[y] for (_, _, y, _) in padded])
+                xc = np.array([dpos[x] for (_, x, _, _) in padded],
+                              np.int32)
+                yc = np.array([dpos[y] for (_, _, y, _) in padded],
+                              np.int32)
                 sigx = np.array([
                     self._sigma1(x, data[x]) for (_, x, _, _) in padded
                 ])
@@ -425,49 +476,37 @@ class RCoT(IndependenceTest):
                       / sigy[:, None]).astype(np.float32)
                 by = rng.uniform(0, two_pi,
                                  (bp, self.num_xy)).astype(np.float32)
-                Xs = X.astype(np.float32)
-                Ys = Y.astype(np.float32)
                 if size == 0:
-                    ssq, eigs = pair_stats(Xs, Wx, bx, Ys, Wy, by)
+                    ssq, eigs = pair_stats(dev, xc, Wx, bx, yc, Wy, by)
                     sta = n * np.asarray(ssq, np.float64)
-                    eigs = np.asarray(eigs, np.float64)
+                    pv = chisq_sum_pvalues_batch(
+                        np.asarray(eigs, np.float64)[:real], sta[:real]
+                    )
                     for j in range(real):
-                        out[padded[j][0]] = _pvalue_from_eigs(
-                            eigs[j], float(sta[j])
-                        )
+                        out[padded[j][0]] = pv[j]
                     continue
-                Z = np.zeros((bp, n, dp), np.float32)
+                zc = np.zeros((bp, dp), np.int32)
+                zm = np.zeros((bp, dp), np.float32)
                 sigz = np.empty(bp)
                 for j, (_, _, _, zcols) in enumerate(padded):
+                    zc[j, :size] = [dpos[c] for c in zcols]
+                    zm[j, :size] = 1.0
                     zmat = np.column_stack([data[c] for c in zcols])
-                    Z[j, :, :size] = zmat
                     sigz[j] = self._sigmaz(zcols, zmat)
                 Wz = (rng.standard_normal((bp, dp, self.num_z))
                       / sigz[:, None, None]).astype(np.float32)
                 bz = rng.uniform(0, two_pi,
                                  (bp, self.num_z)).astype(np.float32)
-                fx, fy, fz, cxy, czz, cxz, czy = feat_covs(
-                    Xs, Wx, bx, Ys, Wy, by, Z, Wz, bz
+                sta_d, eigs_d = fused_z(
+                    dev, xc, Wx, bx, yc, Wy, by, zc, zm, Wz, bz
                 )
-                cxy = np.asarray(cxy, np.float64)
-                czz = np.asarray(czz, np.float64)
-                cxz = np.asarray(cxz, np.float64)
-                czy = np.asarray(czy, np.float64)
-                di = np.arange(self.num_z)
-                czz[:, di, di] += 1e-10
-                B1 = np.linalg.solve(czz, np.transpose(cxz, (0, 2, 1)))
-                B2 = np.linalg.solve(czz, czy)
-                cxy_z = cxy - cxz @ B2
-                sta = n * np.sum(cxy_z**2, axis=(1, 2))
-                eigs = np.asarray(
-                    resid_eigs(fx, fy, fz, B1.astype(np.float32),
-                               B2.astype(np.float32)),
-                    np.float64,
+                sta = np.asarray(sta_d, np.float64)
+                eigs = np.asarray(eigs_d, np.float64)
+                pv = chisq_sum_pvalues_batch(
+                    eigs[:real], sta[:real], force_hbe=self.num_z == 1
                 )
                 for j in range(real):
-                    out[padded[j][0]] = self._pvalue_tail(
-                        eigs[j], float(sta[j])
-                    )
+                    out[padded[j][0]] = pv[j]
         return out
 
 
