@@ -518,13 +518,43 @@ class _KFoldEngine:
 
     # ------------------------------------------------------------ discrete
     def discrete_score(self, variable, parents) -> float:
-        from ...factors.discrete import DiscreteFactor
+        """All folds in one pass: the per-fold CPT fit is a bincount over
+        the cached flat configuration index, and the per-fold slogl is the
+        dot product of test-fold counts with the fold's log-CPT — no
+        DataFrame slices, no per-fold factor objects (reference
+        cv_likelihood.cpp:11-25 fits and scores a DiscreteFactor per
+        fold). Bit-identical to the serial path: same counts → same CPT →
+        same sum (unseen configs with seen parents contribute −inf, unseen
+        parent configs the log-uniform fallback)."""
+        from ...factors.discrete import create_cardinality_strides, flat_indices
 
+        parents = list(parents)
+        for v in (variable, *parents):
+            if not self.df.is_discrete(v):
+                raise ValueError(
+                    "Wrong data type to fit DiscreteFactor. Column "
+                    f"'{v}' is not categorical."
+                )
+        card, strides = create_cardinality_strides(self.df, variable, parents)
+        C = int(np.prod(card))
+        k = int(card[0])
+        npc = C // k
+        idx = flat_indices(self.df, [variable, *parents], strides)
+        log_uniform = -math.log(k)
         total = 0.0
         for (tr, te) in self.folds:
-            f = DiscreteFactor(variable, list(parents))
-            f.fit(self.df.take(tr))
-            total += f.slogl(self.df.take(te))
+            tr_i = idx[tr]
+            tr_i = tr_i[tr_i >= 0]
+            counts_tr = np.bincount(tr_i, minlength=C).reshape(npc, k)
+            totals = counts_tr.sum(axis=1, keepdims=True)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                logp = np.log(counts_tr) - np.log(totals)
+            logp[totals[:, 0] == 0, :] = log_uniform
+            te_i = idx[te]
+            te_i = te_i[te_i >= 0]
+            counts_te = np.bincount(te_i, minlength=C).reshape(npc, k)
+            seen = counts_te > 0
+            total += float(np.sum(counts_te[seen] * logp[seen]))
         return total
 
     # ------------------------------------------------------------- generic
