@@ -93,23 +93,38 @@ def bench_baseline(df, reps=60):
     return reps / (time.time() - t0)
 
 
+def bench_faithful_c(df, reps=60):
+    """Compiled serial stand-in for the reference's Eigen closed-form
+    ladder (benchmarks/faithful_c/faithful.cpp, mirrors
+    mle_LinearGaussianCPD.hpp:12-69)."""
+    from faithful_c import lg_pipeline_rate
+
+    rate, _slogl = lg_pipeline_rate(df, reps)
+    return rate
+
+
 def main():
     df = make_data()
     # interleave ours/baseline rounds: this host is shared, so measuring
     # the two at different moments makes the ratio noise-dominated; paired
     # rounds + median ratio cancels the drift
-    ours_rates, ratios = [], []
+    ours_rates, ratios, ratios_c = [], [], []
+    bench_faithful_c(df, reps=5)  # build + warm the shared library
     for _ in range(5):
         o = bench_ours(df, reps=25)
         b = bench_baseline(df, reps=25)
+        fc = bench_faithful_c(df, reps=25)
         ours_rates.append(o)
         ratios.append(o / b)
+        ratios_c.append(o / fc)
     ours = float(np.median(ours_rates))
     print(json.dumps({
         "metric": "config1_gaussian_fit_slogl_sample_pipelines_per_s",
         "value": round(ours, 2),
         "unit": "pipelines/s (4-node GBN, 1k rows)",
-        "vs_baseline": round(float(np.median(ratios)), 2),
+        "vs_baseline": round(float(np.median(ratios_c)), 2),
+        "vs_faithful_c": round(float(np.median(ratios_c)), 2),
+        "vs_serial_numpy": round(float(np.median(ratios)), 2),
     }))
 
 

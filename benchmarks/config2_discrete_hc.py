@@ -90,15 +90,26 @@ def bench_baseline(df, n_fams=40):
     return k / (time.time() - t0)
 
 
+def bench_faithful_c(df, n_fams=400):
+    """Compiled serial stand-in for the reference's stride counting + BIC
+    (benchmarks/faithful_c/faithful.cpp, mirrors mle_DiscreteFactor.cpp)."""
+    from faithful_c import discrete_bic_rate
+
+    return discrete_bic_rate(df, n_fams)
+
+
 def main():
     df = make_data()
     ours, num_arcs = bench_ours(df)
     base = bench_baseline(df)
+    base_c = bench_faithful_c(df)
     print(json.dumps({
         "metric": "config2_discrete_hc_family_scores_per_s",
         "value": round(ours, 1),
         "unit": f"family-scores/s (20-node DiscreteBN hc, 10k rows, learned {num_arcs} arcs)",
-        "vs_baseline": round(ours / base, 2),
+        "vs_baseline": round(ours / base_c, 2),
+        "vs_faithful_c": round(ours / base_c, 2),
+        "vs_serial_numpy": round(ours / base, 2),
     }))
 
 

@@ -75,6 +75,26 @@ class BIC(Score):
         self._device_cache = None
         self._disc_cache = None
         self._host_counter = None
+        self._native_cache = None
+
+    def _native_codes(self):
+        """Cached (ncols, n) int32 code block + cards for the native
+        discrete scoring core (-1 marks nulls)."""
+        if self._native_cache is None:
+            cols = self.df.discrete_columns()
+            block = np.ascontiguousarray(
+                np.stack([
+                    self.df.codes(c).astype(np.int32) for c in cols
+                ])
+                if cols else np.zeros((0, self.df.num_rows), np.int32)
+            )
+            cards = np.array(
+                [self.df.cardinality(c) for c in cols], np.int64
+            )
+            self._native_cache = (
+                {c: i for i, c in enumerate(cols)}, block, cards
+            )
+        return self._native_cache
 
     def data(self):
         return self.df
@@ -121,6 +141,20 @@ class BIC(Score):
         return loglik - math.log(n) * 0.5 * (k + 2)
 
     def _bic_discrete(self, variable, parents) -> float:
+        from . import discrete_native
+
+        if discrete_native.available():
+            pos, block, cards = self._native_codes()
+            maxp = max(len(parents), 1)
+            fam_parents = np.full((1, maxp), -1, np.int32)
+            for j, p in enumerate(parents):
+                fam_parents[0, j] = pos[p]
+            score = discrete_native.bic_batch(
+                block, cards, np.array([pos[variable]], np.int32),
+                fam_parents,
+            )[0]
+            if not np.isnan(score):
+                return float(score)
         card, strides = create_cardinality_strides(self.df, variable, parents)
         if self._host_counter is None:
             self._host_counter = HostJointCounter(self.df)
@@ -227,10 +261,30 @@ class BIC(Score):
         batches stay on host — a remote-device round trip costs more than
         stride-counting a few million items with numpy (adaptive dispatch,
         same idea as BLAS small-matrix fast paths)."""
-        # crossover: the cached-code host counter runs ~1 ns/row/column, so
+        # crossover: the native counting core runs ~0.5 ns/row/column, so
         # a family batch under ~10M row-items finishes before a single
         # remote-device dispatch round trip (~25 ms) completes
         if len(fams) * self.df.num_rows < 10_000_000:
+            from . import discrete_native
+
+            if discrete_native.available():
+                pos, block, cards = self._native_codes()
+                F = len(fams)
+                maxp = max((len(ps) for _, ps in fams), default=0)
+                maxp = max(maxp, 1)
+                fam_var = np.array([pos[v] for v, _ in fams], np.int32)
+                fam_parents = np.full((F, maxp), -1, np.int32)
+                for f, (_, ps) in enumerate(fams):
+                    for j, p in enumerate(ps):
+                        fam_parents[f, j] = pos[p]
+                scores = discrete_native.bic_batch(
+                    block, cards, fam_var, fam_parents
+                )
+                bad = np.isnan(scores)
+                if bad.any():
+                    for i in np.nonzero(bad)[0]:
+                        scores[i] = self._bic_discrete(*fams[i])
+                return scores
             return np.array([self._bic_discrete(v, ps) for v, ps in fams])
         import jax.numpy as jnp
 
