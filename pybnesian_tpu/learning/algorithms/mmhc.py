@@ -80,7 +80,7 @@ class MMHC:
         arc_whitelist = sorted(r.arc_whitelist)
         cpcs = mmpc_all_variables(
             hypot_test, list(nodes), alpha, r.arc_whitelist,
-            r.edge_blacklist, r.edge_whitelist,
+            r.edge_blacklist, r.edge_whitelist, verbose=verbose,
         )
         skeleton_blacklist = _hc_blacklist(nodes, cpcs)
         total_blacklist = list(arc_blacklist or []) + skeleton_blacklist
@@ -162,6 +162,7 @@ class MMHC:
         cpcs = mmpc_all_variables(
             hypot_test, all_names, alpha, r.arc_whitelist, r.edge_blacklist,
             r.edge_whitelist, interface_nodes=interface_nodes,
+            verbose=verbose,
         )
         blacklist = []
         names = list(nodes)

@@ -99,8 +99,12 @@ def _mmpc_variable(test, names, variable, alpha, whitelisted, blacklisted):
 
 def mmpc_all_variables(test, names, alpha, arc_whitelist=None,
                        edge_blacklist=None, edge_whitelist=None,
-                       interface_nodes=()):
-    """CPC sets for every variable, symmetry-corrected."""
+                       interface_nodes=(), verbose: int = 0):
+    """CPC sets for every variable, symmetry-corrected. ``verbose`` drives
+    a per-variable ProgressBar (reference mmpc.cpp:986-1000 +
+    util/progress.hpp:116)."""
+    from ...utils.progress import progress_bar
+
     arc_whitelist = [tuple(a) for a in (arc_whitelist or [])]
     edge_whitelist = [tuple(e) for e in (edge_whitelist or [])]
     blacklisted = {frozenset(e) for e in (edge_blacklist or [])}
@@ -109,16 +113,22 @@ def mmpc_all_variables(test, names, alpha, arc_whitelist=None,
         white_pairs.setdefault(s, set()).add(t)
         white_pairs.setdefault(t, set()).add(s)
     interface = set(interface_nodes)
+    bar = progress_bar(verbose)
+    bar.set_text("MMPC")
+    bar.set_max_progress(len(names))
     cpcs = {}
     for v in names:
         if v in interface:
             cpcs[v] = set()
+            bar.tick()
             continue
         candidates = [n for n in names if n != v]
         cpcs[v] = _mmpc_variable(
             test, names, v, alpha, white_pairs.get(v, set()) & set(candidates),
             blacklisted,
         )
+        bar.tick()
+    bar.mark_as_completed("Finished MMPC")
     # interface nodes: their cpc = nodes that selected them
     for i in interface:
         cpcs[i] = {v for v in names if i in cpcs.get(v, set())}
@@ -169,7 +179,7 @@ class MMPC:
             skeleton.add_arc(s, t)
         cpcs = mmpc_all_variables(
             hypot_test, list(nodes), alpha, r.arc_whitelist,
-            r.edge_blacklist, r.edge_whitelist,
+            r.edge_blacklist, r.edge_whitelist, verbose=verbose,
         )
         for v in nodes:
             for p in cpcs[v]:
@@ -217,6 +227,7 @@ class MMPC:
         cpcs = mmpc_all_variables(
             hypot_test, all_names, alpha, r.arc_whitelist, r.edge_blacklist,
             r.edge_whitelist, interface_nodes=interface_nodes,
+            verbose=verbose,
         )
         for v in nodes:
             for p in cpcs[v]:

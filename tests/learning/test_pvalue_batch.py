@@ -212,3 +212,13 @@ def test_pc_verbose_progress_smoke(capsys):
     err = capsys.readouterr().err
     assert "No. sepset 0" in err
     assert "Finished PC skeleton" in err
+
+
+def test_mmpc_verbose_progress_smoke(capsys):
+    from pybnesian_tpu import MMPC
+
+    df = normal_chain_data(1200)
+    MMPC().estimate(LinearCorrelation(df), alpha=0.05, verbose=1)
+    err = capsys.readouterr().err
+    assert "MMPC" in err
+    assert "Finished MMPC" in err
