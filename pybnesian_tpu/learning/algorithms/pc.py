@@ -190,6 +190,50 @@ def _batched_sepset_search(edge_iters, test, alpha, bar=None):
     return resolved
 
 
+def _batched_assoc_sweep(edge_iters, test, alpha, init):
+    """Round-robin batched MAX-p-value sweep with early exit past alpha.
+
+    ``edge_iters`` maps (x, y) pairs to iterators over candidate sepsets in
+    serial order; ``init`` holds each pair's starting value. Returns each
+    pair's running max p-value, where a pair stops contributing once its
+    value exceeds alpha — the batched form of MMPC's ``update_min_assoc``
+    loop (reference mmpc.cpp:511-556): pairs that never exceed alpha get
+    their EXACT maximum over all candidates, pairs that do are dropped
+    downstream so their early-stopped value is equivalent.
+    """
+    vals = dict(init)
+    active = {e: it for e, it in edge_iters.items() if vals[e] <= alpha}
+    while active:
+        per_edge = max(1, _PC_BATCH // len(active))
+        triples = []
+        owners = []
+        dry = set()
+        for edge, it in active.items():
+            took = 0
+            for cand in it:
+                triples.append((edge[0], edge[1], tuple(cand)))
+                owners.append(edge)
+                took += 1
+                if took >= per_edge:
+                    break
+            if took < per_edge:
+                dry.add(edge)
+        if not triples:
+            break
+        pvals = _batch_eval(test, triples)
+        stopped = set()
+        for edge, p in zip(owners, pvals):
+            if edge in stopped:
+                continue
+            if p > vals[edge]:
+                vals[edge] = p
+            if vals[edge] > alpha:
+                stopped.add(edge)
+        for e in stopped | dry:
+            active.pop(e, None)
+    return vals
+
+
 def _find_skeleton(g, test, alpha, edge_whitelist, sepset: SepSet,
                    verbose: int = 0):
     """(reference pc.cpp:222-263). Candidate sweeps are evaluated through

@@ -444,8 +444,11 @@ class RCoT(IndependenceTest):
                 per_test = n * (dp + 6 * self.num_xy + 2 * self.num_z
                                 + 2 * self.num_xy * self.num_xy)
             bmax = max(1, self._ELEM_BUDGET // per_test)
-            # keep launch shapes pow2-bucketed: chunk at a pow2 size and
-            # pad only the final partial chunk up to the next pow2
+            # ONE launch shape per (n, dp): every chunk — including partial
+            # tails — pads to the same pow2 b_chunk. Padded lanes waste a
+            # little cheap compute, but each distinct shape costs a full
+            # remote XLA compile on this backend (minutes), so a bounded
+            # shape set dominates any padding waste.
             b_chunk = 1
             while b_chunk * 2 <= bmax:
                 b_chunk *= 2
@@ -453,9 +456,7 @@ class RCoT(IndependenceTest):
             for start in range(0, len(items), b_chunk):
                 chunk = items[start:start + b_chunk]
                 real = len(chunk)
-                bp = 1
-                while bp < real:
-                    bp *= 2
+                bp = b_chunk
                 padded = chunk + [chunk[-1]] * (bp - real)
                 rng = self._rng
                 xc = np.array([dpos[x] for (_, x, _, _) in padded],
