@@ -12,7 +12,12 @@ from __future__ import annotations
 import itertools
 
 from ...graph import ConditionalPartiallyDirectedGraph, PartiallyDirectedGraph
-from .pc import MeekRules, _direct_unshielded_triples
+from .pc import (
+    MeekRules,
+    _batched_assoc_sweep,
+    _batched_sepset_search,
+    _direct_unshielded_triples,
+)
 
 __all__ = ["MMPC", "mmpc_all_variables"]
 
@@ -27,7 +32,15 @@ def _subsets_containing(pool, fixed, min_k, max_k):
 
 
 def _mmpc_variable(test, names, variable, alpha, whitelisted, blacklisted):
-    """CPC of one variable (reference mmpc_variable, mmpc.cpp:647-696)."""
+    """CPC of one variable (reference mmpc_variable, mmpc.cpp:647-696).
+
+    Every association sweep — the per-round forward updates over all
+    candidates' sepsets, and the backward shrink's early-exit subset
+    search — evaluates through the batched round-robin helpers, so
+    device-backed tests fuse the whole round into a few launches. The
+    decisions are identical to the serial loops (see
+    :func:`pybnesian_tpu.learning.algorithms.pc._batched_assoc_sweep`).
+    """
     cpc = set(whitelisted)
     to_check = {
         n
@@ -36,30 +49,28 @@ def _mmpc_variable(test, names, variable, alpha, whitelisted, blacklisted):
     }
     min_assoc = {n: 0.0 for n in to_check}
 
-    def evaluate(candidate, sepsets):
-        """max-update min_assoc with the p-values of the given sepsets."""
-        worst = min_assoc[candidate]
-        for s in sepsets:
-            if worst > alpha:
-                break
-            p = test.pvalue(variable, candidate, *s)
-            if p > worst:
-                worst = p
-        min_assoc[candidate] = worst
+    def evaluate_round(subsets_for):
+        """Batch-update min_assoc for every candidate still in play."""
+        iters = {
+            (variable, cand): iter(subsets_for(cand))
+            for cand in sorted(to_check)
+        }
+        init = {
+            (variable, cand): min_assoc[cand] for cand in sorted(to_check)
+        }
+        vals = _batched_assoc_sweep(iters, test, alpha, init)
+        for (_, cand), val in vals.items():
+            min_assoc[cand] = val
 
-    last_added = None
     if cpc:
         # whitelisted CPC: compute assoc of current CPC for all candidates
-        for cand in list(to_check):
-            subsets = [()] + [
-                s
-                for k in range(1, len(cpc) + 1)
-                for s in itertools.combinations(sorted(cpc), k)
-            ]
-            evaluate(cand, subsets)
+        evaluate_round(lambda cand: [()] + [
+            s
+            for k in range(1, len(cpc) + 1)
+            for s in itertools.combinations(sorted(cpc), k)
+        ])
     else:
-        for cand in list(to_check):
-            evaluate(cand, [()])
+        evaluate_round(lambda cand: [()])
 
     while to_check:
         # drop candidates that can no longer enter
@@ -73,27 +84,27 @@ def _mmpc_variable(test, names, variable, alpha, whitelisted, blacklisted):
         to_check.discard(best)
         last_added = best
         # update candidates with sepsets containing the new CPC member
-        for cand in list(to_check):
-            subsets = list(
-                _subsets_containing(sorted(cpc), last_added, 1, len(cpc))
-            )
-            evaluate(cand, subsets)
+        evaluate_round(lambda cand: _subsets_containing(
+            sorted(cpc), last_added, 1, len(cpc)
+        ))
         to_check = {c for c in to_check if min_assoc[c] <= alpha}
 
-    # backward phase (mmpc.cpp:562-645)
+    # backward phase (mmpc.cpp:562-645): early-exit subset search per
+    # member, batched; cpc mutates between members so the outer loop stays
+    # serial (removal order affects later members' subset pools)
     for x in sorted(cpc):
         if x in whitelisted:
             continue
         others = sorted(cpc - {x})
-        removed = False
-        for k in range(0, len(others) + 1):
-            for s in itertools.combinations(others, k):
-                if test.pvalue(variable, x, *s) > alpha:
-                    cpc.discard(x)
-                    removed = True
-                    break
-            if removed:
-                break
+        cands = itertools.chain.from_iterable(
+            itertools.combinations(others, k)
+            for k in range(0, len(others) + 1)
+        )
+        resolved = _batched_sepset_search(
+            {(variable, x): iter(cands)}, test, alpha
+        )
+        if resolved:
+            cpc.discard(x)
     return cpc
 
 

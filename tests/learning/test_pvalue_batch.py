@@ -222,3 +222,35 @@ def test_mmpc_verbose_progress_smoke(capsys):
     err = capsys.readouterr().err
     assert "MMPC" in err
     assert "Finished MMPC" in err
+
+
+def test_mmpc_batched_equals_serial_path():
+    from pybnesian_tpu import MMPC
+
+    df = normal_chain_data(3000)
+    lc = LinearCorrelation(df)
+    g1 = MMPC().estimate(lc, alpha=0.05)
+    g2 = MMPC().estimate(_SerialOnly(lc), alpha=0.05)
+    assert set(g1.arcs()) == set(g2.arcs())
+    assert {frozenset(e) for e in g1.edges()} == {
+        frozenset(e) for e in g2.edges()
+    }
+
+
+def test_batched_assoc_sweep_exact_max_for_survivors():
+    from pybnesian_tpu.learning.algorithms.pc import _batched_assoc_sweep
+
+    table = {
+        ("x", "y", ("a",)): 0.01,
+        ("x", "y", ("b",)): 0.04,   # max for survivor (x, y)
+        ("x", "z", ("a",)): 0.2,    # drops (x, z) at first candidate
+    }
+    t = _ScriptedTest(table, default=0.001)
+    vals = _batched_assoc_sweep(
+        {("x", "y"): iter([("a",), ("b",), ("c",)]),
+         ("x", "z"): iter([("a",), ("b",)])},
+        t, alpha=0.05,
+        init={("x", "y"): 0.0, ("x", "z"): 0.0},
+    )
+    assert vals[("x", "y")] == 0.04
+    assert vals[("x", "z")] > 0.05
