@@ -4,8 +4,6 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
-
 import numpy as np
 
 _LIB = None
@@ -17,17 +15,12 @@ def load():
         return _LIB
     here = os.path.dirname(os.path.abspath(__file__))
     src = os.path.join(here, "faithful.cpp")
-    lib_path = os.path.join(here, "libfaithful.so")
-    if not os.path.exists(lib_path) or (
-        os.path.getmtime(src) > os.path.getmtime(lib_path)
-    ):
-        subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", src,
-             "-o", lib_path],
-            check=True,
-            capture_output=True,
-        )
-    lib = ctypes.CDLL(lib_path)
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(here)))
+    from pybnesian_tpu._native import build_and_load
+
+    lib = build_and_load(src)
     dptr = ctypes.POINTER(ctypes.c_double)
     lib.fb_lg_pipeline.argtypes = [dptr, dptr, dptr, dptr, ctypes.c_int,
                                    ctypes.c_int, dptr]

@@ -97,6 +97,12 @@ void dc_bic_batch(const int32_t* codes, int64_t n, int32_t ncols,
                 if (ok) { ++counts[idx]; ++total; }
             }
         }
+        if (total == 0) {
+            // every row null in some family column: route to the caller's
+            // fallback tier (which raises, like the host path's log(0))
+            out[f] = NAN;
+            continue;
+        }
         // ll = sum n_ijk * (log n_ijk - log n_ij); penalty over the FULL
         // parent-config space (scores/bic.cpp:66-97)
         const int64_t npc = config_space / k;

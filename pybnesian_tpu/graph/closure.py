@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 import sys
 
 import numpy as np
@@ -29,18 +28,10 @@ def _build_and_load():
     _TRIED = True
     pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     src = os.path.join(pkg_dir, "_native", "graphcore.cpp")
-    lib_path = os.path.join(pkg_dir, "_native", "libgraphcore.so")
     try:
-        if not os.path.exists(lib_path) or (
-            os.path.getmtime(src) > os.path.getmtime(lib_path)
-        ):
-            subprocess.run(
-                ["g++", "-O3", "-march=native", "-shared", "-fPIC", src,
-                 "-o", lib_path],
-                check=True,
-                capture_output=True,
-            )
-        lib = ctypes.CDLL(lib_path)
+        from .._native import build_and_load
+
+        lib = build_and_load(src)
         lib.gc_transitive_closure.argtypes = [
             ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),

@@ -42,6 +42,15 @@ def invvech_triangular(v: np.ndarray) -> np.ndarray:
     return out
 
 
+def _vech_indices(d: int):
+    """(rows, cols) scattering a vech vector back into the lower triangle
+    in vech's COLUMN-major order (column by column) — NOT np.tril_indices,
+    whose row-major order would permute entries for d >= 3."""
+    rows = np.concatenate([np.arange(j, d) for j in range(d)])
+    cols = np.concatenate([np.full(d - j, j) for j in range(d)])
+    return rows, cols
+
+
 class UCVScorer:
     """(reference kde/UCV.hpp:12-47)."""
 
@@ -113,7 +122,7 @@ def _device_minimize(scorer: UCVScorer, x0, start_det, start_score,
     pad[:N] = scorer.training
     Xpad = jnp.asarray(pad)
     valid = jnp.asarray(scorer._valid)
-    rows, cols = np.tril_indices(d)
+    rows, cols = _vech_indices(d)
     log2 = math.log(2.0)
     max_iter = 200 * len(x0)
 
@@ -178,7 +187,7 @@ def ucv_minimize_batch(Xpad, valid, Ns, x0s, d: int, chunk: int = 512):
     from ..ops.kde import ucv_pair_sums
     from ..ops.nelder_mead import nelder_mead
 
-    rows, cols = np.tril_indices(d)
+    rows, cols = _vech_indices(d)
     nv = x0s.shape[1]
     log2 = math.log(2.0)
     max_iter = 200 * nv

@@ -156,8 +156,10 @@ def _batched_sepset_search(edge_iters, test, alpha, bar=None):
     """
     active = dict(edge_iters)  # insertion-ordered
     resolved = {}
+    ramp = 8  # doubles per round: keeps early-exit cheap for serial tests
     while active:
-        per_edge = max(1, _PC_BATCH // len(active))
+        per_edge = max(1, min(ramp, _PC_BATCH // len(active)))
+        ramp *= 2
         triples = []
         owners = []  # aligned: (edge, candidate)
         dry = set()
@@ -203,8 +205,10 @@ def _batched_assoc_sweep(edge_iters, test, alpha, init):
     """
     vals = dict(init)
     active = {e: it for e, it in edge_iters.items() if vals[e] <= alpha}
+    ramp = 8  # doubles per round (see _batched_sepset_search)
     while active:
-        per_edge = max(1, _PC_BATCH // len(active))
+        per_edge = max(1, min(ramp, _PC_BATCH // len(active)))
+        ramp *= 2
         triples = []
         owners = []
         dry = set()
@@ -326,18 +330,6 @@ def _multivariate_candidates(g, edge, sep_size):
     return itertools.combinations(pool2, sep_size)
 
 
-def _find_multivariate_sepset(g, edge, sep_size, test, alpha):
-    comb = _multivariate_candidates(g, edge, sep_size)
-    if comb is None:
-        return None
-    u, v = edge
-    for s in comb:
-        pvalue = test.pvalue(u, v, *s)
-        if pvalue > alpha:
-            return set(s), pvalue
-    return None
-
-
 # ============================================================= v-structures
 def _is_unambiguous_vstructure(g, p1, p2, child, test, alpha,
                                ambiguous_threshold):
@@ -375,9 +367,14 @@ def _is_unambiguous_vstructure(g, p1, p2, child, test, alpha,
                 comb = itertools.combinations(u2, size)
             else:
                 continue
-            cands = [tuple(s) for s in comb]
-            for start in range(0, len(cands), _PC_BATCH):
-                chunk = cands[start:start + _PC_BATCH]
+            comb_it = iter(comb)
+            while True:
+                chunk = [
+                    tuple(s)
+                    for s in itertools.islice(comb_it, _PC_BATCH)
+                ]
+                if not chunk:
+                    break
                 pvals = _batch_eval(
                     test, [(p1, p2, s) for s in chunk]
                 )

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 
 import numpy as np
 
@@ -32,18 +31,10 @@ def _load():
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
     src = os.path.join(pkg_dir, "_native", "discretecore.cpp")
-    lib_path = os.path.join(pkg_dir, "_native", "libdiscretecore.so")
     try:
-        if not os.path.exists(lib_path) or (
-            os.path.getmtime(src) > os.path.getmtime(lib_path)
-        ):
-            subprocess.run(
-                ["g++", "-O3", "-march=native", "-shared", "-fPIC", src,
-                 "-o", lib_path],
-                check=True,
-                capture_output=True,
-            )
-        lib = ctypes.CDLL(lib_path)
+        from ..._native import build_and_load
+
+        lib = build_and_load(src)
         lib.dc_bic_batch.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),

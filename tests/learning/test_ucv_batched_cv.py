@@ -96,3 +96,41 @@ def test_hc_kdenetwork_with_ucv_arguments_runs():
         pbn.ArcOperatorSet(), score, start, max_iters=1,
     )
     assert model.num_nodes() == 3
+
+
+def test_ucv_d3_result_scores_no_worse_than_start():
+    """Regression for the vech/tril index-order scramble: for d>=3 the
+    optimizer's coordinates and the returned factor must use the SAME
+    (column-major vech) layout, so the returned bandwidth's UCV score can
+    never be worse than the normal-reference start it was seeded with."""
+    from pybnesian_tpu.kde.bandwidth import NormalReferenceRule
+    from pybnesian_tpu.kde.ucv import UCVScorer
+
+    rng = np.random.default_rng(0)
+    n = 500
+    x = rng.normal(0, 1, n)
+    y = 0.8 * x + rng.normal(0, 0.6, n)
+    z = -0.5 * x + 0.4 * y + rng.normal(0, 0.7, n)
+    import pandas as pd
+
+    df = pd.DataFrame({"x": x, "y": y, "z": z})
+    cols = ["x", "y", "z"]
+    start = NormalReferenceRule().bandwidth(df, cols)
+    got = pbn.UCV().bandwidth(df, cols)
+    sc = UCVScorer(df, cols)
+    s_start = sc.score_unconstrained(start)
+    s_got = sc.score_unconstrained(got)
+    assert s_got <= s_start + 1e-6 * abs(s_start), (s_got, s_start)
+
+
+def test_vech_roundtrip_through_optimizer_indices():
+    from pybnesian_tpu.kde.ucv import (
+        _vech_indices, invvech_triangular, vech)
+
+    L = np.tril(np.arange(1.0, 17.0).reshape(4, 4))
+    v = vech(L)
+    rows, cols = _vech_indices(4)
+    L2 = np.zeros((4, 4))
+    L2[rows, cols] = v
+    np.testing.assert_array_equal(L, L2)
+    np.testing.assert_array_equal(invvech_triangular(v), L)
