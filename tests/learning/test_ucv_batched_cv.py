@@ -20,12 +20,12 @@ def _ucv_args():
 
 
 def test_cv_ucv_matches_serial_factor_fits():
-    df = normal_chain_data(400)
+    df = normal_chain_data(300)
     model = pbn.KDENetwork(["a", "b", "c", "d"])
-    score = pbn.CVLikelihood(df, k=4, seed=0, construction_args=_ucv_args())
+    score = pbn.CVLikelihood(df, k=3, seed=0, construction_args=_ucv_args())
     got = score.local_score(model, "b", ["a", "c"])
     ref = 0.0
-    for i in range(4):
+    for i in range(3):
         tr, te = score.cv.fold_indices(i)
         f = pbn.CKDE("b", ["a", "c"], bandwidth_selector=pbn.UCV())
         f.fit(score.df.take(tr))
