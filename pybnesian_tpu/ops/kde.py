@@ -525,9 +525,9 @@ def ucv_pair_sums(train_white, valid, chunk=512):
         pair_mask = (ids[:, None] < row_ids[None, :]) & (vc[:, None] > 0) & (
             valid[None, :] > 0
         )
-        s2h = jnp.sum(jnp.where(pair_mask, jnp.exp(-0.25 * d2), 0.0))
-        sh = jnp.sum(jnp.where(pair_mask, jnp.exp(-0.5 * d2), 0.0))
-        return s2h, sh
+        # one transcendental per pair: exp(-1/2 d2) = exp(-1/4 d2)^2
+        e = jnp.where(pair_mask, jnp.exp(-0.25 * d2), 0.0)
+        return jnp.sum(e), jnp.sum(e * e)
 
     n_chunks = npad // chunk
     s2h, sh = jax.lax.map(body, jnp.arange(n_chunks))

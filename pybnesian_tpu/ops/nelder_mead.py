@@ -52,6 +52,15 @@ def nelder_mead(objective, x0, fatol, xatol, max_iter: int = 400):
         return (fspread <= fatol) & (xspread <= xatol)
 
     def body(state):
+        # Two objective evaluations per iteration, by construction: the
+        # reflection, then ONE second point selected among expansion /
+        # outside contraction / inside contraction. Under vmap a lax.cond
+        # lowers to select (BOTH branches execute for every lane every
+        # iteration), so the branchy textbook form costs 4 + (n+1) evals
+        # per iteration; this form costs 2 + (n+1), with identical accept
+        # semantics (scipy's rules). The shrink evaluation is irreducible
+        # under batching but rarely changes anything — non-shrinking lanes
+        # select their untouched simplex.
         sim, fv, it = state
         xbar = jnp.mean(sim[:-1], axis=0)
         xw = sim[-1]
@@ -59,37 +68,29 @@ def nelder_mead(objective, x0, fatol, xatol, max_iter: int = 400):
         xr = xbar + rho * (xbar - xw)
         fr = objective(xr)
 
-        def do_expand(_):
-            xe = xbar + rho * chi * (xbar - xw)
-            fe = objective(xe)
-            better = fe < fr
-            return jnp.where(better, xe, xr), jnp.where(better, fe, fr), False
-
-        def do_reflect(_):
-            return xr, fr, False
-
-        def do_contract(_):
-            outside = fr < fw
-
-            def out(_):
-                xc = xbar + psi * rho * (xbar - xw)
-                fc = objective(xc)
-                return xc, fc, fc > fr
-
-            def inn(_):
-                xcc = xbar - psi * (xbar - xw)
-                fcc = objective(xcc)
-                return xcc, fcc, fcc >= fw
-
-            return jax.lax.cond(outside, out, inn, None)
-
         best = fr < fv[0]
         mid = (~best) & (fr < fv[-2])
-        new_x, new_f, shrink = jax.lax.cond(
+        outside = (~best) & (~mid) & (fr < fw)
+        x2 = jnp.where(
             best,
-            do_expand,
-            lambda _: jax.lax.cond(mid, do_reflect, do_contract, None),
-            None,
+            xbar + rho * chi * (xbar - xw),          # expansion
+            jnp.where(
+                outside,
+                xbar + psi * rho * (xbar - xw),      # outside contraction
+                xbar - psi * (xbar - xw),            # inside contraction
+            ),
+        )
+        f2 = objective(x2)
+
+        # accept rules (scipy): expand takes the better of xe/xr; reflect
+        # takes xr; contractions accept only when they improve, else shrink
+        take2 = jnp.where(
+            best, f2 < fr, jnp.where(outside, f2 <= fr, f2 < fw)
+        )
+        new_x = jnp.where(mid | (~take2 & best), xr, x2)
+        new_f = jnp.where(mid | (~take2 & best), fr, f2)
+        shrink = (~best) & (~mid) & (
+            jnp.where(outside, f2 > fr, f2 >= fw)
         )
 
         def do_shrink(args):
