@@ -185,15 +185,17 @@ def ucv_minimize_batch(Xpad, valid, Ns, x0s, d: int, chunk: int = 512):
     import jax.numpy as jnp
 
     from ..ops.kde import ucv_pair_sums
-    from ..ops.nelder_mead import nelder_mead
+    from ..ops.nelder_mead import nelder_mead_batch
 
     rows, cols = _vech_indices(d)
     nv = x0s.shape[1]
     log2 = math.log(2.0)
     max_iter = 200 * nv
 
-    def run(X, v, n, x0):
-        def raw_score(L):
+    @jax.jit
+    def run_all(Xd, Vd, Nd, X0):
+        def raw_one(x, X, v, n):
+            L = jnp.zeros((d, d), x.dtype).at[rows, cols].set(x)
             logdiag = jnp.log(jnp.abs(jnp.diag(L)) + 1e-300)
             det = jnp.exp(2.0 * jnp.sum(logdiag))
             W = jax.scipy.linalg.solve_triangular(L, X.T, lower=True).T
@@ -207,13 +209,11 @@ def ucv_minimize_batch(Xpad, valid, Ns, x0s, d: int, chunk: int = 512):
             )
             return score, det
 
-        def L_of(x):
-            return jnp.zeros((d, d), x.dtype).at[rows, cols].set(x)
+        raw_batch = jax.vmap(raw_one)
+        ss, sd = raw_batch(X0, Xd, Vd, Nd)
 
-        ss, sd = raw_score(L_of(x0))
-
-        def objective(x):
-            score, det = raw_score(L_of(x))
+        def objective(xs):  # (B, nv) -> (B,)
+            score, det = raw_batch(xs, Xd, Vd, Nd)
             bad = (
                 (det <= MACHINE_TOL)
                 | (det < 1e-3 * sd)
@@ -225,12 +225,12 @@ def ucv_minimize_batch(Xpad, valid, Ns, x0s, d: int, chunk: int = 512):
             return jnp.where(bad, ss + 1e-7, score)
 
         fatol = 1e-4 * jnp.abs(ss) + 1e-12
-        xatol = 1e-4 * jnp.max(jnp.abs(x0)) + 1e-12
-        xb, fb, _ = nelder_mead(objective, x0, fatol, xatol,
-                                max_iter=max_iter)
+        xatol = 1e-4 * jnp.max(jnp.abs(X0), axis=1) + 1e-12
+        xb, fb, _ = nelder_mead_batch(objective, X0, fatol, xatol,
+                                      max_iter=max_iter)
         return xb, fb, ss
 
-    xb, fb, ss = jax.jit(jax.vmap(run))(
+    xb, fb, ss = run_all(
         jnp.asarray(Xpad), jnp.asarray(valid), jnp.asarray(Ns),
         jnp.asarray(x0s),
     )

@@ -19,7 +19,121 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ["nelder_mead"]
+__all__ = ["nelder_mead", "nelder_mead_batch"]
+
+
+def nelder_mead_batch(objective, x0s, fatol, xatol, max_iter: int = 400):
+    """Natively lane-batched Nelder–Mead: ``objective`` maps (B, n) points
+    to (B,) values (each lane closing over its own data), and every
+    iteration costs exactly TWO batched objective calls. The shrink step
+    hides behind a SCALAR ``any(shrink)`` predicate, so its n extra
+    evaluations only run on the (rare) iterations where some lane actually
+    shrinks — unlike ``vmap(nelder_mead)``, where vmapped lax.cond lowers
+    to select and every branch executes for every lane every iteration.
+    Per-lane update rules, convergence tests and freezing match the
+    vmapped form exactly. Returns (x_best (B, n), f_best (B,), iters (B,)).
+    """
+    B, n = x0s.shape
+    rho, chi, psi, sigma = 1.0, 2.0, 0.5, 0.5
+
+    pert = jnp.where(x0s != 0.0, x0s * 1.05, 0.00025)
+    vertices = [x0s] + [
+        x0s.at[:, k].set(pert[:, k]) for k in range(n)
+    ]
+    simplex = jnp.stack(vertices, axis=1)  # (B, n+1, n)
+    fvals = jnp.stack(
+        [objective(simplex[:, v]) for v in range(n + 1)], axis=1
+    )
+
+    def order(sim, fv):
+        idx = jnp.argsort(fv, axis=1)
+        return (
+            jnp.take_along_axis(sim, idx[:, :, None], axis=1),
+            jnp.take_along_axis(fv, idx, axis=1),
+        )
+
+    simplex, fvals = order(simplex, fvals)
+
+    def converged(sim, fv):
+        fspread = jnp.max(jnp.abs(fv[:, 1:] - fv[:, :1]), axis=1)
+        xspread = jnp.max(
+            jnp.abs(sim[:, 1:] - sim[:, :1]), axis=(1, 2)
+        )
+        return (fspread <= fatol) & (xspread <= xatol)
+
+    def body(state):
+        sim, fv, it, done = state
+        xbar = jnp.mean(sim[:, :-1], axis=1)
+        xw = sim[:, -1]
+        fw = fv[:, -1]
+        xr = xbar + rho * (xbar - xw)
+        fr = objective(xr)
+
+        best = fr < fv[:, 0]
+        mid = (~best) & (fr < fv[:, -2])
+        outside = (~best) & (~mid) & (fr < fw)
+        x2 = jnp.where(
+            best[:, None],
+            xbar + rho * chi * (xbar - xw),
+            jnp.where(
+                outside[:, None],
+                xbar + psi * rho * (xbar - xw),
+                xbar - psi * (xbar - xw),
+            ),
+        )
+        f2 = objective(x2)
+
+        take2 = jnp.where(
+            best, f2 < fr, jnp.where(outside, f2 <= fr, f2 < fw)
+        )
+        use_r = mid | (~take2 & best)
+        new_x = jnp.where(use_r[:, None], xr, x2)
+        new_f = jnp.where(use_r, fr, f2)
+        shrink = (~best) & (~mid) & (
+            jnp.where(outside, f2 > fr, f2 >= fw)
+        ) & (~done)
+
+        sim_acc = sim.at[:, -1].set(
+            jnp.where(done[:, None], xw, new_x)
+        )
+        fv_acc = fv.at[:, -1].set(jnp.where(done, fw, new_f))
+
+        def do_shrink(args):
+            sim_a, fv_a = args
+            shrunk = sim[:, :1] + sigma * (sim - sim[:, :1])
+            fs = jnp.stack(
+                [fv[:, 0]]
+                + [objective(shrunk[:, v]) for v in range(1, n + 1)],
+                axis=1,
+            )
+            shrunk = shrunk.at[:, 0].set(sim[:, 0])
+            keep = shrink[:, None]
+            return (
+                jnp.where(keep[:, :, None], shrunk, sim_a),
+                jnp.where(keep, fs, fv_a),
+            )
+
+        sim2, fv2 = jax.lax.cond(
+            jnp.any(shrink), do_shrink, lambda a: a, (sim_acc, fv_acc)
+        )
+        # frozen lanes keep their simplex untouched
+        sim2 = jnp.where(done[:, None, None], sim, sim2)
+        fv2 = jnp.where(done[:, None], fv, fv2)
+        sim2, fv2 = order(sim2, fv2)
+        it2 = it + jnp.where(done, 0, 1)
+        done2 = done | converged(sim2, fv2) | (it2 >= max_iter)
+        return sim2, fv2, it2, done2
+
+    def cond(state):
+        _, _, _, done = state
+        return ~jnp.all(done)
+
+    done0 = converged(simplex, fvals)
+    simplex, fvals, iters, _ = jax.lax.while_loop(
+        cond, body,
+        (simplex, fvals, jnp.zeros(B, jnp.int32), done0),
+    )
+    return simplex[:, 0], fvals[:, 0], iters
 
 
 def nelder_mead(objective, x0, fatol, xatol, max_iter: int = 400):
