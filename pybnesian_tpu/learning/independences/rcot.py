@@ -109,11 +109,10 @@ def _rf_sigma_cols(m: np.ndarray) -> float:
 
 
 def _batched_kernels():
-    """Jitted batch kernels: one launch evaluates B tests' feature maps and
-    covariances, a second their residual-product eigenvalues (the host f64
-    solve for the ill-conditioned (num_z × num_z) system sits in between,
-    as in the serial path). All tests of a PC order sweep share the two
-    launches, amortising the dispatch round trip B ways."""
+    """Jitted batch kernels: ONE launch evaluates B conditional tests
+    end-to-end (see ``fused_z``), another a batch of marginal tests. All
+    tests of a PC order sweep share the launches, amortising the dispatch
+    round trip B ways."""
     import jax
     import jax.numpy as jnp
 
@@ -160,11 +159,13 @@ def _batched_kernels():
         """The ENTIRE conditional test in one launch: feature maps,
         covariances, the (num_z × num_z) conditioning solve, residual
         products and their eigendecomposition. The ill-conditioned solve
-        runs as a spectral pseudo-inverse (eigh + eigenvalue clamp at
-        1e-6·λmax) — the f32-safe equivalent of the serial path's host
-        f64 LU-with-jitter; directions below the clamp are f32 Gram noise
-        either way. Returns only (B,) statistics and (B, num_xy²)
-        eigenvalues, so the D2H fetch is tiny."""
+        runs as a jittered Cholesky (czz has a UNIT diagonal — the feature
+        columns are standardized — so +1e-5·I is a relative ridge just
+        above the f32 Gram noise floor): the f32-safe equivalent of the
+        serial path's host f64 LU-with-jitter, and ~5× cheaper on TPU than
+        a spectral pseudo-inverse (QDWH eigh measured 222 ms vs 44 ms for
+        a (32, 100, 100) batch). Returns only (B,) statistics and
+        (B, num_xy²) eigenvalues, so the D2H fetch is tiny."""
         n = data.shape[0]
         fx = _feat1(data, xc, Wx, bx)
         fy = _feat1(data, yc, Wy, by)
@@ -173,16 +174,11 @@ def _batched_kernels():
         czz = _cov(fz, fz, n)
         cxz = _cov(fx, fz, n)
         czy = _cov(fz, fy, n)
-        w, U = jnp.linalg.eigh(czz)  # ascending, (B, f), (B, f, f)
-        wmax = w[:, -1:]
-        winv = jnp.where(w > 1e-6 * jnp.maximum(wmax, 0.0), 1.0 / w, 0.0)
-        Ut = jnp.swapaxes(U, 1, 2)
-
-        def apply_inv(rhs):
-            return U @ (winv[:, :, None] * (Ut @ rhs))
-
-        B1 = apply_inv(jnp.swapaxes(cxz, 1, 2))
-        B2 = apply_inv(czy)
+        eye = jnp.eye(czz.shape[-1], dtype=czz.dtype)
+        L = jnp.linalg.cholesky(czz + 1e-5 * eye)
+        B1 = jax.scipy.linalg.cho_solve((L, True),
+                                        jnp.swapaxes(cxz, 1, 2))
+        B2 = jax.scipy.linalg.cho_solve((L, True), czy)
         cxy_z = cxy - cxz @ B2
         sta = n * jnp.sum(cxy_z**2, axis=(1, 2))
         rx = fx - jnp.einsum("bnf,bfc->bnc", fz, B1)
