@@ -134,3 +134,16 @@ def test_vech_roundtrip_through_optimizer_indices():
     L2[rows, cols] = v
     np.testing.assert_array_equal(L, L2)
     np.testing.assert_array_equal(invvech_triangular(v), L)
+
+
+def test_holdout_ucv_matches_serial_factor_fit():
+    df = normal_chain_data(260)
+    model = pbn.KDENetwork(["a", "b", "c", "d"])
+    score = pbn.HoldoutLikelihood(
+        df, test_ratio=0.3, seed=0, construction_args=_ucv_args()
+    )
+    got = score.local_score(model, "b", ["a"])
+    f = pbn.CKDE("b", ["a"], bandwidth_selector=pbn.UCV())
+    f.fit(score.training_data())
+    ref = f.slogl(score.test_data())
+    np.testing.assert_allclose(got, ref, rtol=5e-3)
