@@ -218,12 +218,10 @@ def main():
     #    (BIC) and pmax+psum logsumexp (KDE) collectives, which the
     #    collective-free fam axis never touches. Median of paired rounds:
     #    the shared 2-core host drifts and a single ratio is noisy.
-    import numpy as _np
-
-    bic_eff = float(_np.median([
+    bic_eff = float(np.median([
         bench_bic_data_axis(8) / bench_bic_data_axis(1) for _ in range(3)
     ]))
-    kde_eff = float(_np.median([
+    kde_eff = float(np.median([
         bench_kde_data_axis(8) / bench_kde_data_axis(1) for _ in range(3)
     ]))
     cores = os.cpu_count() or 1
