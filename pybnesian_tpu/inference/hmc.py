@@ -9,12 +9,10 @@ with chips over ICI collectives.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 __all__ = ["hmc", "nuts", "sample_chains", "sample_chains_sharded"]
 

@@ -14,7 +14,6 @@ Coefficients and the initial simplex follow scipy.optimize's Nelder–Mead
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
