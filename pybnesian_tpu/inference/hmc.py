@@ -14,7 +14,8 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["hmc", "nuts", "sample_chains", "sample_chains_sharded"]
+__all__ = ["hmc", "nuts", "nuts_chains", "sample_chains",
+           "sample_chains_sharded"]
 
 
 class DualAveragingState(NamedTuple):
@@ -344,9 +345,222 @@ def nuts(logdensity: Callable, init, key, num_samples: int = 1000,
     return samples, info
 
 
+def _nuts_step_chains(vg_b, theta, logp, grad, key, step, inv_mass,
+                      max_depth):
+    """Chain-batched :func:`_nuts_step`: the chain axis C is explicit
+    (theta (C, d), logp (C,), per-chain keys (C, 2), per-chain step and
+    diagonal mass), and each doubling level hides behind a SCALAR
+    ``any(still-extending)`` predicate. Under ``vmap(nuts)`` the per-level
+    ``lax.cond(turned, ...)`` lowers to select, so every chain pays all
+    2^max_depth − 1 leapfrogs per transition; here whole levels are
+    skipped once EVERY chain has U-turned. Per-chain arithmetic and RNG
+    streams mirror the vmapped form exactly (turned chains keep their old
+    key, state, and statistics)."""
+    C, dim = theta.shape
+
+    def kin(m):
+        return 0.5 * jnp.sum(jnp.square(m) * inv_mass, axis=1)
+
+    k3 = jax.vmap(lambda k: jax.random.split(k, 3))(key)
+    key_out, km, kd = k3[:, 0], k3[:, 1], k3[:, 2]
+    momentum = jax.vmap(
+        lambda k: jax.random.normal(k, (dim,), theta.dtype)
+    )(km) / jnp.sqrt(inv_mass)
+    h0 = logp - kin(momentum)
+
+    state = {
+        "theta_minus": theta, "r_minus": momentum,
+        "lp_minus": logp, "g_minus": grad,
+        "theta_plus": theta, "r_plus": momentum,
+        "lp_plus": logp, "g_plus": grad,
+        "sample": theta, "sample_lp": logp, "sample_g": grad,
+        "logw_sum": jnp.zeros(C, theta.dtype),
+        "turned": jnp.zeros(C, bool),
+        "sum_accept": jnp.zeros(C, theta.dtype),
+        "n_steps": jnp.zeros(C, theta.dtype),
+        "key": kd,
+    }
+
+    def extend(level, state):
+        n_sub = 2**level
+
+        def do_extend(state):
+            active = ~state["turned"]
+            ks = jax.vmap(lambda k: jax.random.split(k, 3))(state["key"])
+            key_new, kdir, ksel = ks[:, 0], ks[:, 1], ks[:, 2]
+            go_right = jax.vmap(jax.random.bernoulli)(kdir)
+            gr = go_right[:, None]
+            th0 = jnp.where(gr, state["theta_plus"], state["theta_minus"])
+            r0 = jnp.where(gr, state["r_plus"], -state["r_minus"])
+            lp0 = jnp.where(go_right, state["lp_plus"], state["lp_minus"])
+            g0 = jnp.where(gr, state["g_plus"], state["g_minus"])
+
+            def leap(carry, _):
+                th, r, lp, g, logw, samp, samp_lp, samp_g, key2, sum_a = carry
+                r = r + 0.5 * step[:, None] * g
+                th = th + step[:, None] * r * inv_mass
+                lp, g = vg_b(th)
+                r = r + 0.5 * step[:, None] * g
+                logw_new = lp - kin(r) - h0
+                logw_new = jnp.where(
+                    jnp.isnan(logw_new), -jnp.inf, logw_new
+                )
+                sum_a = sum_a + jnp.minimum(1.0, jnp.exp(logw_new))
+                ks2 = jax.vmap(lambda k: jax.random.split(k, 2))(key2)
+                key2, kt = ks2[:, 0], ks2[:, 1]
+                total = jnp.logaddexp(logw, logw_new)
+                take = jax.vmap(
+                    lambda k: jax.random.uniform(k, (), theta.dtype)
+                )(kt) < jnp.exp(logw_new - total)
+                samp = jnp.where(take[:, None], th, samp)
+                samp_lp = jnp.where(take, lp, samp_lp)
+                samp_g = jnp.where(take[:, None], g, samp_g)
+                return (th, r, lp, g, total, samp, samp_lp, samp_g, key2,
+                        sum_a), None
+
+            (th_end, r_end, lp_end, g_end, logw_seg, samp_seg, samp_lp_seg,
+             samp_g_seg, _, sum_a), _ = jax.lax.scan(
+                leap,
+                (th0, r0, lp0, g0,
+                 jnp.full(C, -jnp.inf, theta.dtype),
+                 th0, lp0, g0, ksel, jnp.zeros(C, theta.dtype)),
+                None,
+                length=n_sub,
+            )
+
+            theta_minus = jnp.where(gr, state["theta_minus"], th_end)
+            r_minus = jnp.where(gr, state["r_minus"], -r_end)
+            lp_minus = jnp.where(go_right, state["lp_minus"], lp_end)
+            g_minus = jnp.where(gr, state["g_minus"], g_end)
+            theta_plus = jnp.where(gr, th_end, state["theta_plus"])
+            r_plus = jnp.where(gr, r_end, state["r_plus"])
+            lp_plus = jnp.where(go_right, lp_end, state["lp_plus"])
+            g_plus = jnp.where(gr, g_end, state["g_plus"])
+
+            dtheta = theta_plus - theta_minus
+            turned = (
+                jnp.sum(dtheta * r_minus * inv_mass, axis=1) < 0
+            ) | (jnp.sum(dtheta * r_plus * inv_mass, axis=1) < 0)
+            diverged = logw_seg < -1000.0
+
+            ks3 = jax.vmap(lambda k: jax.random.split(k, 2))(key_new)
+            key_fin, kmerge = ks3[:, 0], ks3[:, 1]
+            total = jnp.logaddexp(state["logw_sum"], logw_seg)
+            take_new = jax.vmap(
+                lambda k: jax.random.uniform(k, (), theta.dtype)
+            )(kmerge) < jnp.exp(logw_seg - total)
+            keep = (~(turned | diverged)) & active
+            take = keep & take_new
+            upd = active
+            u1 = upd[:, None]
+
+            def sel(cond1, a, b):
+                return jnp.where(cond1, a, b)
+
+            keep1 = keep[:, None]
+            return {
+                "theta_minus": sel(keep1, theta_minus, state["theta_minus"]),
+                "r_minus": sel(keep1, r_minus, state["r_minus"]),
+                "lp_minus": sel(keep, lp_minus, state["lp_minus"]),
+                "g_minus": sel(keep1, g_minus, state["g_minus"]),
+                "theta_plus": sel(keep1, theta_plus, state["theta_plus"]),
+                "r_plus": sel(keep1, r_plus, state["r_plus"]),
+                "lp_plus": sel(keep, lp_plus, state["lp_plus"]),
+                "g_plus": sel(keep1, g_plus, state["g_plus"]),
+                "sample": sel(take[:, None], samp_seg, state["sample"]),
+                "sample_lp": sel(take, samp_lp_seg, state["sample_lp"]),
+                "sample_g": sel(take[:, None], samp_g_seg,
+                                state["sample_g"]),
+                "logw_sum": sel(keep, total, state["logw_sum"]),
+                "turned": jnp.where(upd, turned | diverged,
+                                    state["turned"]),
+                "sum_accept": state["sum_accept"]
+                + jnp.where(upd, sum_a, 0.0),
+                "n_steps": state["n_steps"]
+                + jnp.where(upd, float(n_sub), 0.0),
+                "key": sel(u1, key_fin, state["key"]),
+            }
+
+        return jax.lax.cond(
+            jnp.all(state["turned"]), lambda s: s, do_extend, state
+        )
+
+    for level in range(max_depth):
+        state = extend(level, state)
+
+    accept_stat = state["sum_accept"] / jnp.maximum(state["n_steps"], 1.0)
+    return (state["sample"], state["sample_lp"], state["sample_g"],
+            key_out, accept_stat)
+
+
+def nuts_chains(logdensity: Callable, inits, keys, num_samples: int = 1000,
+                num_warmup: int = 500, max_depth: int = 6,
+                initial_step: float = 0.1, target_accept: float = 0.8):
+    """C chains of :func:`nuts` with the chain axis explicit (see
+    :func:`_nuts_step_chains` for why this beats ``vmap(nuts)`` on
+    accelerators). Per-chain warmup adaptation mirrors :func:`nuts`.
+    ``inits``: (C, dim); ``keys``: (C, 2) PRNG keys. Returns
+    (samples (C, num_samples, dim), info)."""
+    vg_b = jax.vmap(jax.value_and_grad(logdensity))
+    C, dim = inits.shape
+    logp0, grad0 = vg_b(inits)
+
+    def warmup_step(carry, _):
+        theta, logp, grad, key, da, mean, m2, count = carry
+        step = jnp.exp(da.log_step)
+        inv_mass = jnp.where(
+            count > 10.0,
+            jnp.maximum(m2 / jnp.maximum(count - 1.0, 1.0), 1e-6),
+            jnp.ones((C, dim), theta.dtype),
+        )
+        theta, logp, grad, key, accept = _nuts_step_chains(
+            vg_b, theta, logp, grad, key, step, inv_mass, max_depth
+        )
+        da = _da_update(da, accept, target=target_accept)
+        count = count + 1.0
+        delta = theta - mean
+        mean = mean + delta / count
+        m2 = m2 + delta * (theta - mean)
+        return (theta, logp, grad, key, da, mean, m2, count), accept
+
+    da0 = _da_init(jnp.full(C, initial_step, inits.dtype))
+    carry = (
+        inits, logp0, grad0, keys, da0,
+        jnp.zeros((C, dim), inits.dtype),
+        jnp.zeros((C, dim), inits.dtype),
+        jnp.asarray(0.0, inits.dtype),
+    )
+    carry, warm_accept = jax.lax.scan(warmup_step, carry, None,
+                                      length=num_warmup)
+    theta, logp, grad, keys, da, mean, m2, count = carry
+    step = jnp.exp(da.log_step_avg)
+    inv_mass = jnp.maximum(m2 / jnp.maximum(count - 1.0, 1.0), 1e-6)
+
+    def sample_step(carry, _):
+        theta, logp, grad, key = carry
+        theta, logp, grad, key, accept = _nuts_step_chains(
+            vg_b, theta, logp, grad, key, step, inv_mass, max_depth
+        )
+        return (theta, logp, grad, key), (theta, accept)
+
+    _, (samples, accepts) = jax.lax.scan(
+        sample_step, (theta, logp, grad, keys), None, length=num_samples
+    )
+    info = {
+        "step_size": step,
+        "accept_rate": jnp.mean(accepts, axis=0),
+        "warmup_accept_rate": jnp.mean(warm_accept, axis=0),
+        "inv_mass": inv_mass,
+    }
+    return jnp.swapaxes(samples, 0, 1), info
+
+
 def sample_chains(logdensity, init, key, num_chains: int = 4,
                   method: str = "nuts", **kwargs):
-    """vmap over chains on one device; jitter the inits."""
+    """Multiple chains on one device; jitter the inits. NUTS chains run
+    through the explicitly chain-batched :func:`nuts_chains` (whole
+    doubling levels are skipped once every chain U-turns); HMC chains
+    vmap."""
     keys = jax.random.split(key, num_chains)
     dim = init.shape[0]
     jitter = (
@@ -356,10 +570,11 @@ def sample_chains(logdensity, init, key, num_chains: int = 4,
         )
     )
     inits = init[None, :] + jitter
-    sampler = nuts if method == "nuts" else hmc
+    if method == "nuts":
+        return nuts_chains(logdensity, inits, keys, **kwargs)
 
     def run(i, k):
-        return sampler(logdensity, i, k, **kwargs)
+        return hmc(logdensity, i, k, **kwargs)
 
     return jax.vmap(run)(inits, keys)
 

@@ -169,3 +169,36 @@ def test_diagnostics_iid_chains():
     assert potential_scale_reduction(bad) > 1.2
     s = summarize({"x": iid})
     assert set(s["x"]) == {"mean", "sd", "ess", "rhat"}
+
+
+def test_nuts_chains_matches_vmapped_nuts():
+    """The explicitly chain-batched sampler (whole doubling levels skipped
+    once every chain U-turns) must reproduce vmap(nuts) — same per-chain
+    RNG streams, same update rules, tiny f32 reduction-order differences
+    only."""
+    import jax
+    import jax.numpy as jnp
+
+    from pybnesian_tpu.inference.hmc import nuts, nuts_chains
+
+    def logdensity(th):
+        return -0.5 * jnp.sum(th**2) - 0.1 * jnp.sum(th**4)
+
+    C, dim = 4, 3
+    key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, C)
+    inits = 0.1 * jax.random.normal(
+        jax.random.fold_in(key, 1), (C, dim), jnp.float32
+    )
+    kw = dict(num_samples=50, num_warmup=30, max_depth=5)
+    sb, ib = nuts_chains(logdensity, inits, keys, **kw)
+    sv, iv = jax.vmap(
+        lambda i, k: nuts(logdensity, i, k, **kw)
+    )(inits, keys)
+    np.testing.assert_allclose(
+        np.asarray(ib["accept_rate"]), np.asarray(iv["accept_rate"]),
+        rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sb), np.asarray(sv), rtol=1e-3, atol=1e-4
+    )
