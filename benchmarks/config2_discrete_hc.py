@@ -103,11 +103,13 @@ def main():
     ours, num_arcs = bench_ours(df)
     base = bench_baseline(df)
     base_c = bench_faithful_c(df)
+    # vs_baseline keeps its round-1..3 meaning (serial-numpy ratio) for
+    # round-over-round trackers; vs_faithful_c is the compiled-C bar
     print(json.dumps({
         "metric": "config2_discrete_hc_family_scores_per_s",
         "value": round(ours, 1),
         "unit": f"family-scores/s (20-node DiscreteBN hc, 10k rows, learned {num_arcs} arcs)",
-        "vs_baseline": round(ours / base_c, 2),
+        "vs_baseline": round(ours / base, 2),
         "vs_faithful_c": round(ours / base_c, 2),
         "vs_serial_numpy": round(ours / base, 2),
     }))

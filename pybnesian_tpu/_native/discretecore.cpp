@@ -10,35 +10,33 @@
 // (ops/discrete.py) — this kernel is the small/medium tier of the same
 // adaptive dispatch.
 //
+// Families are independent, so batches ≥ 8 families split across two
+// hardware threads (the counting pass is memory-stream-bound; the host
+// gives near-linear scaling to its core count).
+//
 // Codes layout: one int32 array per column, -1 marks null; rows with a
 // null in any family column are dropped (pairwise deletion, matching
 // data/dataframe.py semantics).
 //
-// Build: g++ -O3 -march=native -shared -fPIC discretecore.cpp -o
+// Build: g++ -O3 -march=native -pthread -shared -fPIC discretecore.cpp -o
 //        libdiscretecore.so   (auto-built on first use, like graphcore)
 
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
-extern "C" {
+namespace {
 
-// BIC local scores for F discrete families.
-//  codes:       (ncols, n) row-major int32 block (column i at codes+i*n)
-//  cards:       (ncols,) int64 cardinalities
-//  fam_var:     (F,) column index of the child
-//  fam_parents: (F, maxp) column indices, -1 padding
-//  out:         (F,) scores; NaN when the config space exceeds max_configs
-//               (caller falls back to another tier)
-void dc_bic_batch(const int32_t* codes, int64_t n, int32_t ncols,
-                  const int64_t* cards, const int32_t* fam_var,
-                  const int32_t* fam_parents, int32_t F, int32_t maxp,
-                  int64_t max_configs, double* out) {
+void bic_range(const int32_t* codes, int64_t n, const int64_t* cards,
+               const int32_t* fam_var, const int32_t* fam_parents,
+               int32_t f_begin, int32_t f_end, int32_t maxp,
+               int64_t max_configs, double* out) {
     std::vector<int64_t> counts;
     std::vector<const int32_t*> col(1 + maxp);
     std::vector<int64_t> stride(1 + maxp);
-    for (int f = 0; f < F; ++f) {
+    for (int f = f_begin; f < f_end; ++f) {
         const int32_t v = fam_var[f];
         int nv = 1;
         col[0] = codes + (int64_t)v * n;
@@ -120,6 +118,36 @@ void dc_bic_batch(const int32_t* codes, int64_t n, int32_t ncols,
         }
         out[f] = ll - std::log((double)total) * 0.5 * (double)(k - 1)
                           * (double)npc;
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// BIC local scores for F discrete families.
+//  codes:       (ncols, n) row-major int32 block (column i at codes+i*n)
+//  cards:       (ncols,) int64 cardinalities
+//  fam_var:     (F,) column index of the child
+//  fam_parents: (F, maxp) column indices, -1 padding
+//  out:         (F,) scores; NaN when the config space exceeds max_configs
+//               (caller falls back to another tier)
+void dc_bic_batch(const int32_t* codes, int64_t n, int32_t ncols,
+                  const int64_t* cards, const int32_t* fam_var,
+                  const int32_t* fam_parents, int32_t F, int32_t maxp,
+                  int64_t max_configs, double* out) {
+    (void)ncols;
+    unsigned hw = std::thread::hardware_concurrency();
+    if (hw >= 2 && F >= 8 && (int64_t)F * n >= 200000) {
+        const int32_t mid = F / 2;
+        std::thread t1(bic_range, codes, n, cards, fam_var, fam_parents,
+                       0, mid, maxp, max_configs, out);
+        bic_range(codes, n, cards, fam_var, fam_parents, mid, F, maxp,
+                  max_configs, out);
+        t1.join();
+    } else {
+        bic_range(codes, n, cards, fam_var, fam_parents, 0, F, maxp,
+                  max_configs, out);
     }
 }
 

@@ -27,7 +27,7 @@ __all__ = ["Column", "DataFrame"]
 _FLOAT_DTYPES = (np.float32, np.float64)
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, slots=True)
 class Column:
     """One immutable column. ``categories is None`` ⇔ continuous."""
 
@@ -121,6 +121,22 @@ class DataFrame:
         object.__setattr__(self, "_names", list(names))
         object.__setattr__(self, "_num_rows", nrows.pop() if nrows else 0)
         object.__setattr__(self, "_dev_cache", {})
+
+    @classmethod
+    def _from_float_arrays(cls, names, arrays, nrows) -> "DataFrame":
+        """Internal unchecked constructor: float64 1-D arrays, unique names.
+        Used by hot sampling paths where the generic ctor's validation is
+        measurable (the arrays come from our own kernels)."""
+        self = object.__new__(cls)
+        object.__setattr__(
+            self,
+            "_columns",
+            {n: Column(n, a) for n, a in zip(names, arrays)},
+        )
+        object.__setattr__(self, "_names", list(names))
+        object.__setattr__(self, "_num_rows", nrows)
+        object.__setattr__(self, "_dev_cache", {})
+        return self
 
     # ------------------------------------------------------------------ build
     @staticmethod

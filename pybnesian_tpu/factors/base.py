@@ -92,6 +92,12 @@ class Factor:
     """Conditional probability distribution P(variable | evidence)
     (reference factors/factors.hpp:118-198)."""
 
+    # Subclasses WITHOUT __slots__ (including user extension classes) still
+    # get an instance __dict__ automatically; slotting the base only makes
+    # the two universal attributes cheap and lets fully-slotted subclasses
+    # (LinearGaussianCPD) skip the per-instance dict entirely.
+    __slots__ = ("_variable", "_evidence")
+
     def __init__(self, variable: str, evidence: Sequence[str] = ()):  # noqa: D401
         self._variable = str(variable)
         self._evidence = [str(e) for e in evidence]

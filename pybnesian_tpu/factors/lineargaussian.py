@@ -40,6 +40,10 @@ class LinearGaussianCPDType(FactorType):
 
 
 class LinearGaussianCPD(Factor):
+    # slotted: LG factors are created per node on every fit of an all-LG
+    # network — the serial tier's hot allocation path
+    __slots__ = ("_fitted", "_beta", "_variance")
+
     def __init__(self, variable, evidence=(), beta=None, variance=None):
         super().__init__(variable, evidence)
         self._fitted = False
@@ -137,6 +141,11 @@ class LinearGaussianCPD(Factor):
 
     def slogl(self, df) -> float:
         self._check_fitted()
+        from ..models.base import _lg_factor_native_slogl
+
+        out = _lg_factor_native_slogl(self, df)
+        if out is not None:
+            return out
         return float(np.nansum(self.logl(df)))
 
     def cdf(self, df) -> np.ndarray:

@@ -174,6 +174,28 @@ class _GraphBase:
         """name → raw index for every node (reference graph indices())."""
         return {self._nodes[i].name: i for i in self._collapsed}
 
+    def _structural_copy(self):
+        """Fast deep copy of the base graph structure (nodes + adjacency
+        sets + index bookkeeping) without ``copy.deepcopy`` dispatch. Only
+        valid for classes that add no state beyond ``_GraphBase`` (Dag,
+        DirectedGraph); used by the model layer's interned-structure
+        templates."""
+        new = object.__new__(type(self))
+        nodes = []
+        for nd in self._nodes:
+            n2 = _Node.__new__(_Node)
+            n2.name = nd.name
+            n2.parents = set(nd.parents)
+            n2.children = set(nd.children)
+            n2.neighbors = set(nd.neighbors)
+            n2.valid = nd.valid
+            nodes.append(n2)
+        new._nodes = nodes
+        new._indices = dict(self._indices)
+        new._free = list(self._free)
+        new._collapsed = list(self._collapsed)
+        return new
+
     # -------------------------------------------------------------- pickle
     def save(self, filename: str) -> None:
         from ..utils.pickle import save_object

@@ -142,6 +142,17 @@ def _batch_eval(test, triples):
     )
 
 
+def _has_real_batch(test) -> bool:
+    """True when the test carries an actual batched kernel. Serial tests
+    (base-class or duck-typed ``pvalue``-only) should be driven one
+    candidate per edge per round, so the round-robin batcher performs
+    EXACTLY the serial early-exit evaluation count."""
+    from ..independences.base import IndependenceTest
+
+    fn = getattr(type(test), "pvalue_batch", None)
+    return fn is not None and fn is not IndependenceTest.pvalue_batch
+
+
 def _batched_sepset_search(edge_iters, test, alpha, bar=None):
     """Round-robin batched early-exit search.
 
@@ -156,10 +167,15 @@ def _batched_sepset_search(edge_iters, test, alpha, bar=None):
     """
     active = dict(edge_iters)  # insertion-ordered
     resolved = {}
-    ramp = 8  # doubles per round: keeps early-exit cheap for serial tests
+    # batch-kernel tests amortise dispatch, so probe several candidates per
+    # edge per round (doubling); serial tests stay at 1 per round so every
+    # edge performs exactly the serial early-exit evaluation count
+    batch_test = _has_real_batch(test)
+    ramp = 8 if batch_test else 1
     while active:
         per_edge = max(1, min(ramp, _PC_BATCH // len(active)))
-        ramp *= 2
+        if batch_test:
+            ramp *= 2
         triples = []
         owners = []  # aligned: (edge, candidate)
         dry = set()
@@ -205,10 +221,12 @@ def _batched_assoc_sweep(edge_iters, test, alpha, init):
     """
     vals = dict(init)
     active = {e: it for e, it in edge_iters.items() if vals[e] <= alpha}
-    ramp = 8  # doubles per round (see _batched_sepset_search)
+    batch_test = _has_real_batch(test)  # see _batched_sepset_search
+    ramp = 8 if batch_test else 1
     while active:
         per_edge = max(1, min(ramp, _PC_BATCH // len(active)))
-        ramp *= 2
+        if batch_test:
+            ramp *= 2
         triples = []
         owners = []
         dry = set()

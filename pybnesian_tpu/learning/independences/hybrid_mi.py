@@ -75,15 +75,15 @@ class MutualInformation(IndependenceTest):
     def _grouped_cov_dets(self, cont_vars, config_idx, n_configs, valid):
         """Per-config determinant of the ddof-1 covariance of cont_vars.
 
-        ONE pass over the rows: per-config counts, sums and outer-product
-        sums accumulate through weighted ``bincount`` (the reference does
-        the equivalent single grouped pass in C++,
-        mutual_information.cpp:958-1033); the per-config covariances then
-        assemble from raw moments and a stacked ``det`` finishes. Cost is
-        O(n·d²) independent of the number of configurations — the previous
-        per-config full-array masking was O(n_configs · n). Columns are
-        globally centred first so the raw-moment assembly has no
-        catastrophic cancellation."""
+        TWO grouped passes over the rows via weighted ``bincount`` (the
+        reference does the equivalent grouped loop in C++,
+        mutual_information.cpp:958-1033): the first accumulates per-config
+        counts and sums (→ group means), the second accumulates products of
+        group-CENTRED values. Per-group centring keeps full precision even
+        when configuration means are far apart relative to the
+        within-config spread (raw-moment assembly ``sq − n·μμᵀ`` cancels
+        catastrophically there). Cost stays O(n·d²) independent of the
+        number of configurations."""
         d = len(cont_vars)
         dets = np.full(n_configs, np.nan)
         if d == 0:
@@ -95,11 +95,12 @@ class MutualInformation(IndependenceTest):
         ok = cnt > d
         if not ok.any():
             return dets
-        sub = sub - sub.mean(axis=0, keepdims=True)
         sums = np.empty((n_configs, d))
         for j in range(d):
             sums[:, j] = np.bincount(idx, weights=sub[:, j],
                                      minlength=n_configs)
+        gmean = sums / np.maximum(cnt, 1)[:, None]
+        sub = sub - gmean[idx]
         sq = np.empty((n_configs, d, d))
         for j in range(d):
             for l in range(j, d):
@@ -108,10 +109,7 @@ class MutualInformation(IndependenceTest):
                 sq[:, j, l] = s
                 sq[:, l, j] = s
         nk = cnt[ok].astype(np.float64)
-        mean = sums[ok] / nk[:, None]
-        cov = (
-            sq[ok] - nk[:, None, None] * mean[:, :, None] * mean[:, None, :]
-        ) / (nk - 1.0)[:, None, None]
+        cov = sq[ok] / (nk - 1.0)[:, None, None]
         dets[ok] = np.linalg.det(cov)
         return dets
 

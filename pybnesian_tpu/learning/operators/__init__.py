@@ -19,6 +19,8 @@ loop, operators.cpp:114-131).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from ...factors.base import FactorType
@@ -33,7 +35,7 @@ DELTA_RESOLUTION = 1e-9
 
 
 def _quantize(d: float) -> float:
-    if not np.isfinite(d):
+    if not math.isfinite(d):
         return d
     return round(d / DELTA_RESOLUTION) * DELTA_RESOLUTION
 
@@ -409,50 +411,85 @@ class ArcOperatorSet(OperatorSet):
 
     def _recompute_cells(self, model, score, cells) -> None:
         """Batch-evaluate the families needed by the given (si, ti) cells and
-        fill the delta matrix — the single-device-call hot path."""
+        fill the delta matrix — the single-device-call hot path. Works in
+        graph-index space (adjacency-set membership, cached parent-name
+        lists per target) instead of per-cell name-based model calls: the
+        hc inner loop touches thousands of cells per run and the reference
+        does this walk in C++ (operators.cpp:100-180)."""
+        from ...models.base import BayesianNetworkType
+
         bn_type = model.type()
+        # the base-class arc policy allows everything — skip the per-cell
+        # double call in that (overwhelmingly common) case
+        generic_arcs = (
+            type(bn_type).can_have_arc is BayesianNetworkType.can_have_arc
+        )
+        g = model._graph
+        gnodes = g._nodes
+        gind = g._indices
         family_index: dict[tuple, int] = {}
         families: list[tuple] = []
         cell_plans = []
+        pnames_cache: dict[int, list] = {}  # target graph idx -> parent names
+
+        def pnames(idx):
+            out = pnames_cache.get(idx)
+            if out is None:
+                out = [gnodes[p].name for p in gnodes[idx].parents]
+                pnames_cache[idx] = out
+            return out
+
+        sources = self._sources
+        targets = self._targets
+        tpos = self._tpos
         for (si, ti) in cells:
-            source, target = self._sources[si], self._targets[ti]
-            if not bn_type.can_have_arc(model, source, target):
+            source, target = sources[si], targets[ti]
+            if not generic_arcs and not bn_type.can_have_arc(
+                model, source, target
+            ):
                 # keep -inf
                 cell_plans.append(None)
                 continue
-            if (
-                source in self._tpos
-                and model.has_arc(target, source)
-                and not bn_type.can_have_arc(model, source, target)
-            ):
-                cell_plans.append(None)
-                continue
-            kind, fams = self._pair_families(model, source, target)
+            s_idx = gind[source]
+            t_idx = gind[target]
+            parents_t = gnodes[t_idx].parents
+            if s_idx in parents_t:
+                kind = "remove"
+                fams = [(target, [p for p in pnames(t_idx) if p != source])]
+            elif source in tpos and t_idx in gnodes[s_idx].parents:
+                kind = "flip"
+                fams = [
+                    (source, [p for p in pnames(s_idx) if p != target]),
+                    (target, pnames(t_idx) + [source]),
+                ]
+            else:
+                kind = "add"
+                fams = [(target, pnames(t_idx) + [source])]
             idxs = []
             for fam in fams:
                 key = (fam[0], frozenset(fam[1]))
-                if key not in family_index:
-                    family_index[key] = len(families)
+                fi = family_index.get(key)
+                if fi is None:
+                    fi = family_index[key] = len(families)
                     families.append(fam)
-                idxs.append(family_index[key])
+                idxs.append(fi)
             cell_plans.append((si, ti, source, target, kind, idxs))
 
         if not families:
             return
         values = score.local_score_batch(model, families)
+        lc = self._local_cache._scores
+        delta = self.delta
         for plan in cell_plans:
             if plan is None:
                 continue
             si, ti, source, target, kind, idxs = plan
-            cached_t = self._local_cache.local_score(model, target)
-            if kind == "remove":
-                d = values[idxs[0]] - cached_t
-            elif kind == "flip":
-                cached_s = self._local_cache.local_score(model, source)
-                d = values[idxs[0]] + values[idxs[1]] - cached_s - cached_t
+            cached_t = lc[target]
+            if kind == "flip":
+                d = values[idxs[0]] + values[idxs[1]] - lc[source] - cached_t
             else:
                 d = values[idxs[0]] - cached_t
-            self.delta[si, ti] = _quantize(d)
+            delta[si, ti] = _quantize(d)
 
     # ----------------------------------------------------------- find max
     def find_max(self, model, tabu: OperatorTabuSet | None = None):

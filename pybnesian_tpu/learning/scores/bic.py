@@ -76,6 +76,16 @@ class BIC(Score):
         self._disc_cache = None
         self._host_counter = None
         self._native_cache = None
+        self._disc_set = None
+
+    def _discrete_set(self) -> frozenset:
+        """Cached discrete-column name set (the DataFrame is immutable):
+        per-family dispatch does set lookups instead of per-name
+        ``df.is_discrete`` calls — the hc inner loop classifies thousands
+        of families per run."""
+        if self._disc_set is None:
+            self._disc_set = frozenset(self.df.discrete_columns())
+        return self._disc_set
 
     def _native_codes(self):
         """Cached (ncols, n) int32 code block + cards for the native
@@ -219,28 +229,34 @@ class BIC(Score):
 
         from ...ops.gaussian import batched_bic
 
+        homog_nt = (
+            model.type().default_node_type()
+            if model.type().is_homogeneous()
+            else None
+        )
         norm = []
         for fam in families:
             if len(fam) == 3:
                 v, ps, nt = fam
                 if nt is None:
-                    nt = self._node_type(model, v)
+                    nt = homog_nt or self._node_type(model, v)
             else:
                 v, ps = fam
-                nt = self._node_type(model, v)
+                nt = homog_nt or self._node_type(model, v)
             norm.append((v, list(ps), nt))
 
         out = np.empty(len(norm))
         lg_idx = []
         disc_idx = []
+        lg_t = LinearGaussianCPDType()
+        dc_t = DiscreteFactorType()
+        disc = self._discrete_set()
         for i, (v, ps, nt) in enumerate(norm):
-            if nt == LinearGaussianCPDType() and not any(
-                self.df.is_discrete(p) for p in ps
-            ) and not self.df.is_discrete(v):
-                lg_idx.append(i)
-            elif nt == DiscreteFactorType() and self.df.is_discrete(v) and all(
-                self.df.is_discrete(p) for p in ps
+            if nt == lg_t and v not in disc and not any(
+                p in disc for p in ps
             ):
+                lg_idx.append(i)
+            elif nt == dc_t and v in disc and all(p in disc for p in ps):
                 disc_idx.append(i)
             else:
                 out[i] = self.local_score_node_type(model, nt, v, ps)

@@ -21,6 +21,141 @@ from ..graph import ConditionalDag, Dag, NodeLookupError
 
 _LOG_2PI = math.log(2.0 * math.pi)
 
+# ---------------------------------------------------------------------------
+# Native all-LG serial tier (pybnesian_tpu/_native/lgfast.c): small/medium
+# pure-LinearGaussian networks run fit / slogl / sample as ONE C call each.
+# The TPU kernels win every batched workload; this tier wins the
+# serial-shaped ones (BASELINE config 1) where per-call Python plumbing,
+# not compute, is the cost (reference runs the same loops in C++:
+# mle_LinearGaussianCPD.hpp:12-69, BayesianNetwork.hpp:960-1066).
+_LGFAST = None
+_LGFAST_TRIED = False
+
+
+def _lgfast_mod():
+    global _LGFAST, _LGFAST_TRIED
+    if not _LGFAST_TRIED:
+        _LGFAST_TRIED = True
+        try:
+            import os
+
+            from .._native import build_ext_and_import
+
+            src = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "_native",
+                "lgfast.c",
+            )
+            _LGFAST = build_ext_and_import(src, "lgfast")
+        except Exception:
+            _LGFAST = None
+    return _LGFAST
+
+
+# (names, {name: position}) per pandas column Index, keyed on the Index
+# OBJECT identity (pandas treats Index objects as immutable; any column
+# mutation replaces the Index). A 2-slot MRU avoids iterating arrow-backed
+# Index objects (~µs each) on every fit/slogl call.
+_COLMAP: list = [None, None]
+_PD_DF = None
+
+
+def _pandas_df_cls():
+    global _PD_DF
+    if _PD_DF is None:
+        import pandas
+
+        _PD_DF = pandas.DataFrame
+    return _PD_DF
+
+
+def _df_colmap(df):
+    cols = df.columns
+    e0 = _COLMAP[0]
+    if e0 is not None and e0[0] is cols:
+        return e0
+    e1 = _COLMAP[1]
+    if e1 is not None and e1[0] is cols:
+        _COLMAP[0], _COLMAP[1] = e1, e0
+        return e1
+    names = list(cols)
+    pos = {}
+    for i, c in enumerate(names):
+        if type(c) is not str:
+            return None
+        pos[c] = i
+    entry = (cols, names, pos, [None])
+    _COLMAP[0], _COLMAP[1] = entry, _COLMAP[0]
+    return entry
+
+
+def _df_values(df, cm):
+    """(n, d) float64 matrix for a gate-checked single-dtype frame. For
+    single-block frames the extracted VIEW is cached in the colmap entry
+    and revalidated per call against the live block buffer identity
+    (``view.base is block.values``), so in-place value edits flow through
+    and block replacement (``df[c] = ...``) forces re-extraction."""
+    blocks = df._mgr.blocks
+    slot = cm[3]
+    if len(blocks) == 1:
+        bv = blocks[0].values
+        vals = slot[0]
+        if vals is not None and vals.base is bv:
+            return vals
+        vals = df.to_numpy()
+        if vals.base is bv:
+            slot[0] = vals
+        return vals
+    return df.to_numpy()
+
+def _lg_factor_native_slogl(cpd, df):
+    """slogl of ONE fitted LinearGaussianCPD through the same native
+    kernel the model-level fast path uses — per-node values are therefore
+    bitwise identical between ``model.slogl`` and ``sum(cpd.slogl)``
+    (reference BNGeneric::slogl contract). Returns None whenever the fast
+    preconditions fail (caller runs the generic numpy path)."""
+    mod = _lgfast_mod()
+    if mod is None or type(df) is not (_PD_DF or _pandas_df_cls()):
+        return None
+    v = cpd._variance
+    if not (isinstance(v, float) and v > 0.0 and math.isfinite(v)):
+        return None
+    beta = cpd._beta
+    ev = cpd._evidence
+    if (
+        type(beta) is not np.ndarray
+        or beta.dtype != np.float64
+        or beta.ndim != 1
+        or beta.shape[0] != len(ev) + 1
+        or not beta.flags.c_contiguous
+    ):
+        return None
+    mgr = getattr(df, "_mgr", None)
+    blocks = getattr(mgr, "blocks", None)
+    if not blocks or any(b.dtype != np.float64 for b in blocks):
+        return None
+    cm = _df_colmap(df)
+    if cm is None:
+        return None
+    pos = cm[2]
+    try:
+        yidx = np.array([pos[cpd._variable]], np.int32)
+        pidx = np.fromiter((pos[e] for e in ev), np.int32, len(ev))
+    except KeyError:
+        return None
+    vals = _df_values(df, cm)
+    if vals.dtype != np.float64 or vals.ndim != 2:
+        return None
+    indptr = np.array([0, len(ev)], np.int32)
+    out = np.empty(1)
+    total = mod.lgf_slogl(
+        vals, yidx, indptr, pidx, beta.reshape(1, -1), np.array([v]), out
+    )
+    if total != total:  # NaN rows: the generic path owns null semantics
+        return None
+    return float(out[0])
+
+
 # per-type-class arity of data_default_node_type: True = the reference's
 # single-argument (arrow DataType) signature, False = (df, variable)
 _DDNT_SINGLE_ARG: dict[type, bool] = {}
@@ -120,6 +255,30 @@ class BayesianNetworkBase:
     # pybindings_models.cpp:1117 def_property "include_cpd"); instance
     # assignment shadows this class default.
     include_cpd = False
+
+    # Copy-on-write graph storage: models built from an interned structure
+    # template carry only a template reference until something actually
+    # touches the graph; the first access materialises a private copy.
+    # Mirrors the reference's cheap C++ graph construction without paying
+    # Python-object graph building on every small-model pipeline.
+    _graph_v = None
+    _graph_tpl = None
+
+    @property
+    def _graph(self):
+        g = self._graph_v
+        if g is None:
+            tpl = self._graph_tpl
+            if tpl is None:
+                raise AttributeError("model graph not initialised")
+            g = tpl.proto._structural_copy()
+            self._graph_v = g
+        return g
+
+    @_graph.setter
+    def _graph(self, value):
+        self._graph_v = value
+        self._graph_tpl = None
 
     # ------------------------------------------------------------ structure
     def graph(self):
@@ -262,6 +421,7 @@ class BayesianNetworkBase:
         return idx
 
     def remove_node(self, node) -> None:
+        self._lgfs = None
         name = node if isinstance(node, str) else self._graph.name(node)
         self._graph.remove_node(name)
         self._cpds.pop(name, None)
@@ -282,6 +442,7 @@ class BayesianNetworkBase:
         )
 
     def add_arc(self, source, target) -> None:
+        self._lgfs = None
         s = source if isinstance(source, str) else self._graph.name(source)
         t = target if isinstance(target, str) else self._graph.name(target)
         if not self._type.can_have_arc(self, s, t):
@@ -291,12 +452,15 @@ class BayesianNetworkBase:
         self._graph.add_arc(s, t)
 
     def add_arc_unsafe(self, source, target) -> None:
+        self._lgfs = None
         self._graph.add_arc_unsafe(source, target)
 
     def remove_arc(self, source, target) -> None:
+        self._lgfs = None
         self._graph.remove_arc(source, target)
 
     def flip_arc(self, source, target) -> None:
+        self._lgfs = None
         s = source if isinstance(source, str) else self._graph.name(source)
         t = target if isinstance(target, str) else self._graph.name(target)
         if not self._type.can_have_arc(self, t, s):
@@ -333,6 +497,7 @@ class BayesianNetworkBase:
                 f"{self._type.ToString()}"
             )
         old = self._node_types.get(name)
+        self._lgfs = None
         self._node_types[name] = node_type
         if old is not None and old != node_type:
             self._cpds.pop(name, None)
@@ -448,6 +613,7 @@ class BayesianNetworkBase:
             if self.node_type(c.variable()) == UnknownFactorType()
         ]
         self.force_type_whitelist(new_types)
+        self._lgfs = None
         for cpd in cpds:
             self._cpds[cpd.variable()] = cpd
 
@@ -470,6 +636,9 @@ class BayesianNetworkBase:
         )
 
     def fit(self, df, construction_args: Arguments | None = None) -> None:
+        if construction_args is None and self._fit_lg_native(df):
+            return
+        self._lgfs = None
         df = DataFrame.wrap(df)
         args = construction_args or Arguments()
         self._check_data_compat(df)
@@ -627,6 +796,406 @@ class BayesianNetworkBase:
             cpd._fitted = True
         return True
 
+    # -------------------------------------------------- native all-LG tier
+    # Class default: no fast state until a native fit succeeds. Mutators
+    # reset it; use-time verification (per-CPD identity checks) catches
+    # everything else (e.g. mutation through graph()).
+    _lgfs = None
+
+    def _fit_lg_native(self, df) -> bool:
+        """All-LG fit as one C call (``lgfast.lgf_fit``): shared centered
+        Gram + per-node closed forms with the exact numeric guards of
+        :meth:`_fit_lg_fast`. Engages only for homogeneous LG networks on
+        all-float64 pandas frames; returns False (generic path runs) in
+        every other case. On success also caches the index/parameter block
+        that lets slogl/sample run as single C calls."""
+        mod = _lgfast_mod()
+        if mod is None:
+            return False
+        t = self._type
+        try:
+            if not t.is_homogeneous():
+                return False
+            from ..factors.lineargaussian import (
+                LinearGaussianCPD,
+                LinearGaussianCPDType,
+            )
+
+            if type(t.default_node_type()) is not LinearGaussianCPDType:
+                return False
+        except Exception:
+            return False
+        if type(df) is not (_PD_DF or _pandas_df_cls()):
+            return False
+        mgr = getattr(df, "_mgr", None)
+        blocks = getattr(mgr, "blocks", None)
+        if not blocks or any(b.dtype != np.float64 for b in blocks):
+            return False
+        cm = _df_colmap(df)
+        if cm is None:
+            return False
+        _cols_obj, names, pos = cm[0], cm[1], cm[2]
+        if len(names) > 64:
+            return False
+        cpds = self._cpds
+        tpl = self._graph_tpl
+        if tpl is not None and self._graph_v is None and not cpds:
+            # ---------------- interned-template lane: the graph is pristine
+            # (any mutation would have materialised it), every node needs a
+            # fresh factor, and the per-df index block is cached on the
+            # template — the whole plan is a dictionary hit.
+            nodes = tpl.nodes
+            dn = len(nodes)
+            if dn == 0 or dn > 64:
+                return False
+            slot = tpl.plan_slot
+            if slot is not None and slot[0] is _cols_obj:
+                p = slot[1]
+            else:
+                node_pos = {n: j for j, n in enumerate(nodes)}
+                try:
+                    yidx = np.fromiter(
+                        (pos[n] for n in nodes), np.int32, dn
+                    )
+                    indptr = np.empty(dn + 1, np.int32)
+                    indptr[0] = 0
+                    flat = []
+                    flat_n = []
+                    for j, ev in enumerate(tpl.parents):
+                        for e in ev:
+                            flat.append(pos[e])
+                            flat_n.append(node_pos[e])
+                        indptr[j + 1] = len(flat)
+                    maxk = max(map(len, tpl.parents))
+                except KeyError:
+                    return False
+                p = {
+                    "yidx": yidx,
+                    "indptr": indptr,
+                    "pidx": np.array(flat, np.int32),
+                    "pidx_n": np.array(flat_n, np.int32),
+                    "use": np.arange(len(names), dtype=np.int32),
+                    "maxk": maxk,
+                    "topo_idx": np.fromiter(
+                        (node_pos[n] for n in tpl.topo_names), np.int32, dn
+                    ),
+                    "dfcols": tuple(names),
+                    "node_pos": node_pos,
+                }
+                p["st_proto"] = {
+                    "dfcols": p["dfcols"],
+                    "cols_obj": None,
+                    "yidx": yidx,
+                    "indptr": indptr,
+                    "pidx": p["pidx"],
+                    "betas": None,
+                    "vars": None,
+                    "items": None,
+                    "n_nodes": dn,
+                    "plan_ev": tpl.parents,
+                    "num_arcs": tpl.num_arcs,
+                    "topo": p["topo_idx"],
+                    "pidx_n": p["pidx_n"],
+                    "order_names": tpl.topo_names,
+                    "node_pos": node_pos,
+                }
+                tpl.plan_slot = (_cols_obj, p)
+            vals = _df_values(df, cm)
+            n_rows = vals.shape[0]
+            maxk = p["maxk"]
+            if (
+                n_rows <= maxk + 1
+                or vals.dtype != np.float64
+                or vals.ndim != 2
+            ):
+                return False
+            betas = np.zeros((dn, maxk + 1))
+            vars_ = np.empty(dn)
+            flags = np.empty(dn, np.uint8)
+            yidx, indptr, pidx = p["yidx"], p["indptr"], p["pidx"]
+            try:
+                rc = mod.lgf_fit(
+                    vals, p["use"], yidx, indptr, pidx, betas, vars_, flags
+                )
+            except Exception:
+                return False
+            if rc != 0:
+                return False
+            new = LinearGaussianCPD.__new__
+            items = []
+            wrapped = None
+            parents = tpl.parents
+            vlist = vars_.tolist()
+            for j, n in enumerate(nodes):
+                ev = parents[j]
+                cpd = new(LinearGaussianCPD)
+                cpd._variable = n
+                # shared with the immutable template (evidence() copies out)
+                cpd._evidence = ev
+                cpds[n] = cpd
+                if not flags[j]:
+                    if wrapped is None:
+                        wrapped = DataFrame.wrap(df)
+                    cpd._fitted = False
+                    cpd._beta = None
+                    cpd._variance = None
+                    cpd.fit(wrapped)
+                    betas[j, : len(ev) + 1] = cpd._beta
+                    vars_[j] = cpd._variance
+                    vlist[j] = float(cpd._variance)
+                beta_view = betas[j, : len(ev) + 1]
+                cpd._beta = beta_view
+                v = vlist[j]
+                cpd._variance = v
+                cpd._fitted = True
+                items.append((n, cpd, beta_view, v))
+            st = p["st_proto"].copy()
+            st["cols_obj"] = _cols_obj
+            st["betas"] = betas
+            st["vars"] = vars_
+            st["items"] = items
+            self._lgfs = st
+            return True
+        # -------------------------------- generic lane (live graph / reused
+        # CPDs): build the plan from graph + factor introspection
+        nodes = self._fit_nodes()
+        dn = len(nodes)
+        if dn == 0 or dn > 64:
+            return False
+        graph = self._graph
+        plan = []  # (node, ev_order, must, keep, existing_cpd)
+        maxk = 0
+        npar = 0
+        try:
+            for n in nodes:
+                if n not in pos:
+                    return False
+                evidence = graph.parents(n)
+                cpd = cpds.get(n)
+                must = (
+                    cpd is None
+                    or type(cpd) is not LinearGaussianCPD
+                    or set(cpd.evidence()) != set(evidence)
+                )
+                # a reused fitted CPD keeps its parameters (reference
+                # must_construct_cpd semantics: only unfitted/reshaped
+                # CPDs are (re)estimated)
+                ev = evidence if must else list(cpd.evidence())
+                keep = not must and cpd._fitted
+                if keep and (
+                    type(cpd._beta) is not np.ndarray
+                    or cpd._beta.shape[0] != len(ev) + 1
+                    or not isinstance(cpd._variance, float)
+                    or cpd._beta.dtype != np.float64
+                ):
+                    return False
+                for e in ev:
+                    if e not in pos:
+                        return False
+                k = len(ev)
+                if k > maxk:
+                    maxk = k
+                npar += k
+                plan.append((n, ev, must, keep, cpd))
+        except Exception:
+            return False
+        vals = _df_values(df, cm)
+        n_rows = vals.shape[0]
+        if n_rows <= maxk + 1 or vals.dtype != np.float64 or vals.ndim != 2:
+            return False
+        yidx = np.empty(dn, np.int32)
+        indptr = np.empty(dn + 1, np.int32)
+        pidx = np.empty(npar, np.int32)
+        indptr[0] = 0
+        o = 0
+        for j, (n, ev, _m, _k, _c) in enumerate(plan):
+            yidx[j] = pos[n]
+            for e in ev:
+                pidx[o] = pos[e]
+                o += 1
+            indptr[j + 1] = o
+        use = np.arange(len(names), dtype=np.int32)
+        betas = np.zeros((dn, maxk + 1))
+        vars_ = np.empty(dn)
+        flags = np.empty(dn, np.uint8)
+        try:
+            rc = mod.lgf_fit(vals, use, yidx, indptr, pidx, betas, vars_, flags)
+        except Exception:
+            return False
+        if rc != 0:
+            return False
+        items = []
+        wrapped = None
+        for j, (n, ev, must, keep, cpd) in enumerate(plan):
+            if must:
+                cpd = LinearGaussianCPD(n, ev)
+                cpds[n] = cpd
+            if keep:
+                betas[j, : len(ev) + 1] = cpd._beta
+                vars_[j] = cpd._variance
+            elif not flags[j]:
+                # numeric guard fired: the generic ladder owns the
+                # degenerate-family semantics (singular parent blocks)
+                if wrapped is None:
+                    wrapped = DataFrame.wrap(df)
+                cpd.fit(wrapped)
+                betas[j, : len(ev) + 1] = cpd._beta
+                vars_[j] = cpd._variance
+            beta_view = betas[j, : len(ev) + 1]
+            cpd._beta = beta_view
+            cpd._variance = float(vars_[j])
+            cpd._fitted = True
+            items.append((n, cpd, beta_view, cpd._variance))
+        self._lgfs = {
+            "dfcols": tuple(names),
+            "cols_obj": _cols_obj,
+            "yidx": yidx,
+            "indptr": indptr,
+            "pidx": pidx,
+            "betas": betas,
+            "vars": vars_,
+            "items": items,
+            "n_nodes": dn,
+            "plan_ev": [p[1] for p in plan],
+            "num_arcs": graph.num_arcs(),
+            "topo": None,
+        }
+        return True
+
+    def _lgfs_verify(self, st) -> bool:
+        """Cheap use-time revalidation of the cached fast state: every node
+        still holds the SAME fitted LG factor with the SAME parameter
+        buffers. Any mismatch (user replaced/unfitted a CPD, pickle
+        round-trip, variance edit) falls back to the generic path."""
+        cpds = self._cpds
+        if len(cpds) != st["n_nodes"]:
+            return False
+        for n, cpd, beta, var in st["items"]:
+            c = cpds.get(n)
+            if (
+                c is not cpd
+                or c._beta is not beta
+                or c._variance != var
+                or not c._fitted
+                or not (var > 0.0 and math.isfinite(var))
+            ):
+                return False
+        return True
+
+    def _lg_native_slogl(self, st, df):
+        """slogl as one C call; None → caller runs the generic path."""
+        if type(df) is not (_PD_DF or _pandas_df_cls()):
+            return None
+        cols = df.columns
+        if cols is st["cols_obj"] or tuple(cols) == st["dfcols"]:
+            yidx, indptr, pidx = st["yidx"], st["indptr"], st["pidx"]
+        else:
+            pos = {c: i for i, c in enumerate(cols)}
+            try:
+                yidx = np.fromiter(
+                    (pos[n] for n, *_ in st["items"]), np.int32, st["n_nodes"]
+                )
+                pidx = np.fromiter(
+                    (pos[e] for ev in st["plan_ev"] for e in ev),
+                    np.int32,
+                    len(st["pidx"]),
+                )
+            except KeyError:
+                return None
+            indptr = st["indptr"]
+        if not self._lgfs_verify(st):
+            return None
+        mgr = getattr(df, "_mgr", None)
+        blocks = getattr(mgr, "blocks", None)
+        if not blocks or any(b.dtype != np.float64 for b in blocks):
+            return None
+        cm = _df_colmap(df)
+        if cm is None:
+            return None
+        vals = _df_values(df, cm)
+        if vals.dtype != np.float64:
+            return None
+        per_node = st.get("per_node")
+        if per_node is None:
+            per_node = st["per_node"] = np.empty(st["n_nodes"])
+        total = _lgfast_mod().lgf_slogl(
+            vals, yidx, indptr, pidx, st["betas"], st["vars"], per_node
+        )
+        if total != total:  # NaN: data has nulls; generic path owns the rule
+            return None
+        # exact left-to-right sum of per-factor values: the reference's
+        # BNGeneric::slogl is literally that sum and its suite asserts
+        # bitwise equality with sum(cpd.slogl()) (BayesianNetwork_test.py)
+        return sum(per_node.tolist())
+
+    def _lg_native_sample(self, st, n, seed, ordered):
+        """Ancestral sampling as one C call. The stream is deterministic
+        per seed and per-variable identical across ``ordered`` flags (the
+        observable contract); it is NOT the per-node numpy stream of the
+        generic path — sampling distribution semantics are unchanged."""
+        if not self._lgfs_verify(st):
+            return None
+        g = self._graph_v
+        if g is None:
+            # COW template still pristine — the structure cannot have
+            # changed since fit (any mutation materialises the graph)
+            if self._graph_tpl is None:
+                return None
+        elif (
+            g.num_nodes() != st["n_nodes"]
+            or g.num_arcs() != st["num_arcs"]
+        ):
+            return None
+        if st["topo"] is None:
+            try:
+                order = self._graph.topological_sort()
+            except Exception:
+                return None
+            node_pos = {it[0]: j for j, it in enumerate(st["items"])}
+            try:
+                st["topo"] = np.fromiter(
+                    (node_pos[nm] for nm in order), np.int32, st["n_nodes"]
+                )
+                st["pidx_n"] = np.fromiter(
+                    (node_pos[e] for ev in st["plan_ev"] for e in ev),
+                    np.int32,
+                    len(st["pidx"]),
+                )
+            except KeyError:
+                return None
+            st["order_names"] = order
+        base_seed = (
+            seed
+            if seed is not None
+            else np.random.SeedSequence().entropy % (2**31)
+        )
+        out = np.empty((st["n_nodes"], n))
+        _lgfast_mod().lgf_sample(
+            st["topo"],
+            st["indptr"],
+            st["pidx_n"],
+            st["betas"],
+            st["vars"],
+            n,
+            int(base_seed),
+            out,
+        )
+        node_pos = st.get("node_pos")
+        if node_pos is None:
+            node_pos = {it[0]: j for j, it in enumerate(st["items"])}
+            st["node_pos"] = node_pos
+        if ordered:
+            names = (
+                [it[0] for it in st["items"]]
+                if self._graph_v is None and self._graph_tpl is not None
+                else self.nodes()
+            )
+        else:
+            names = st["order_names"]
+        return DataFrame._from_float_arrays(
+            names, [out[node_pos[nm]] for nm in names], n
+        )
+
     def _check_data_compat(self, df: DataFrame) -> None:
         if self._type.requires_discrete_data():
             for n in self._fit_nodes():
@@ -751,6 +1320,11 @@ class BayesianNetworkBase:
     def slogl(self, df) -> float:
         """Sum of per-factor slogl (each factor skips its own null rows,
         reference BNGeneric::slogl:1010)."""
+        st = self._lgfs
+        if st is not None:
+            out = self._lg_native_slogl(st, df)
+            if out is not None:
+                return out
         self._check_fitted()
         df = DataFrame.wrap(df)
         fast = self._lg_fast_logl_matrix(df)
@@ -768,6 +1342,11 @@ class BayesianNetworkBase:
     # ---------------------------------------------------------------- sample
     def sample(self, n: int, seed: int | None = None, ordered: bool = False):
         """Ancestral sampling (reference BNGeneric::sample:1024-1066)."""
+        st = self._lgfs
+        if st is not None:
+            out = self._lg_native_sample(st, n, seed, ordered)
+            if out is not None:
+                return out
         self._check_fitted()
         import pandas as pd
 
@@ -927,11 +1506,82 @@ def _reslot_bn_args(positional, n_name_slots):
     return (*names, arcs, graph, node_types)
 
 
+class _GraphTemplate:
+    """Interned validated structure: the prototype Dag plus the derived
+    metadata the all-LG fast paths need without touching a live graph."""
+
+    __slots__ = (
+        "proto", "nodes", "parents", "topo_names", "num_arcs", "plan_slot"
+    )
+
+    def __init__(self, proto, nodes, parents, topo_names, num_arcs):
+        self.proto = proto
+        self.nodes = nodes
+        self.parents = parents  # list of parent-name lists, nodes() order
+        self.topo_names = topo_names
+        self.num_arcs = num_arcs
+        self.plan_slot = None  # (cols_obj, plan dict) — per-df index block
+
+
+# (id(type), nodes, arcs) → _GraphTemplate. Identity-keyed on the type
+# singleton (BayesianNetworkType __eq__ is class-wide, too coarse for
+# stateful types); the template holds a strong ref so the id stays valid.
+_BN_TEMPLATES: dict = {}
+
+
 class BayesianNetwork(BayesianNetworkBase):
     """Generic unconditional BN (reference BNGeneric over Dag)."""
 
     def __init__(self, type: BayesianNetworkType, nodes=None, arcs=None,
                  graph=None, node_types=None):
+        if (
+            graph is None
+            and node_types is None
+            and type.__class__.can_have_arc is BayesianNetworkType.can_have_arc
+            and nodes.__class__ is list
+            and arcs.__class__ is list
+            and nodes
+            and nodes[0].__class__ is str
+        ):
+            # interned-structure fast lane: identical (type, nodes, arcs)
+            # constructions share one validated template; the graph is
+            # copied lazily on first real access (COW)
+            try:
+                key = (id(type), tuple(nodes), tuple(arcs))
+                tpl = _BN_TEMPLATES.get(key)
+            except TypeError:
+                key = tpl = None
+            if tpl is not None:
+                self._type = type
+                self._cpds = {}
+                self._node_types = {}
+                self._graph_tpl = tpl
+                return
+            if key is not None and all(
+                a.__class__ is tuple
+                and len(a) == 2
+                and a[0].__class__ is str
+                and a[1].__class__ is str
+                for a in arcs
+            ):
+                self._init_slow(type, nodes, arcs, None, None)
+                g = self._graph_v
+                if g is not None and g.__class__ is Dag:
+                    if len(_BN_TEMPLATES) > 256:
+                        _BN_TEMPLATES.clear()
+                    node_names = g.nodes()
+                    _BN_TEMPLATES[key] = _GraphTemplate(
+                        g._structural_copy(),
+                        node_names,
+                        [g.parents(n) for n in node_names],
+                        g.topological_sort(),
+                        g.num_arcs(),
+                    )
+                return
+        self._init_slow(type, nodes, arcs, graph, node_types)
+
+    def _init_slow(self, type, nodes=None, arcs=None, graph=None,
+                   node_types=None):
         nodes, arcs, graph, node_types = _reslot_bn_args(
             (nodes, arcs, graph, node_types), 1
         )

@@ -254,3 +254,24 @@ def test_wide_cardinality_cost_is_config_independent():
         t.pvalue("x", "y", "D1", "D2", "D3")  # 1000 configs
     wide = time.perf_counter() - t0
     assert wide < 8 * narrow + 0.5, (narrow, wide)
+
+
+def test_grouped_cov_dets_separated_config_means():
+    """Configurations whose means dwarf the within-config spread: the
+    round-5 per-group-centred second pass keeps full precision where the
+    raw-moment assembly (sq − n·μμᵀ) cancels catastrophically."""
+    rng = np.random.default_rng(7)
+    n = 4000
+    a = rng.integers(0, 4, n)
+    x = rng.normal(0, 1e-3, n) + 1e7 * a        # means ~1e7 apart, σ=1e-3
+    y = 0.5 * x + rng.normal(0, 1e-3, n) - 5e6 * a
+    df = pd.DataFrame({"A": pd.Categorical(a.astype(str)), "x": x, "y": y})
+    t = MutualInformation(df)
+    valid = t.df.combined_mask("A", "x", "y")
+    zidx, zc, _ = t._config_index(["A"], valid)
+    fast = t._grouped_cov_dets(["x", "y"], zidx, zc, valid)
+    mat = t.df.to_numpy(["x", "y"], drop_null=False, dtype=np.float64)
+    naive = _naive_grouped_cov_dets(mat, zidx, zc, valid)
+    np.testing.assert_allclose(fast, naive, rtol=1e-6)
+    # determinants must be positive and near (1e-3)^4-scale, not noise
+    assert np.all(fast[np.isfinite(fast)] > 0)
