@@ -11,6 +11,8 @@ device path (see operators / Score.local_score_batch).
 
 from __future__ import annotations
 
+import numpy as np
+
 from ...data import DataFrame
 from ...models.base import ConditionalBayesianNetwork
 from ...utils import MACHINE_TOL
@@ -27,6 +29,78 @@ def _validation_delta_score(model, score, nodes_changed, local_validation):
         local_validation.update_vlocal_score(model, score, n)
         delta += local_validation.local_score(model, n) - prev
     return delta
+
+
+def _native_discrete_hc(operators, score, model, max_indegree, max_iters,
+                        epsilon):
+    """Run the whole hc loop in the native core when the search is a plain
+    discrete-BIC ArcOperatorSet climb (the reference's own hc loop is C++,
+    hillclimbing.hpp:62-199 + operators.cpp:100-437). Returns the model
+    with the learned ops applied, or None when the fast preconditions fail
+    (the Python loop runs instead, identical semantics)."""
+    from ...models.base import (
+        BayesianNetworkType,
+        ConditionalBayesianNetwork,
+    )
+    from ..operators import ArcOperatorSet
+    from ..scores import discrete_native
+    from ..scores.bic import BIC
+
+    if (
+        type(operators) is not ArcOperatorSet
+        or type(score) is not BIC
+        or isinstance(model, ConditionalBayesianNetwork)
+        or not discrete_native.available()
+    ):
+        return None
+    t = model.type()
+    try:
+        from ...factors.discrete import DiscreteFactorType
+
+        if (
+            not t.is_homogeneous()
+            or type(t.default_node_type()) is not DiscreteFactorType
+            or type(t).can_have_arc is not BayesianNetworkType.can_have_arc
+        ):
+            return None
+    except Exception:
+        return None
+    nodes = model.nodes()
+    d = len(nodes)
+    if d == 0 or d > 64:
+        return None
+    try:
+        pos, block, cards = score._native_codes()
+        node_cols = np.fromiter((pos[n] for n in nodes), np.int32, d)
+    except Exception:
+        return None
+    # operator-set restriction validation + valid mask, exactly as
+    # cache_scores would build it (raises the same errors)
+    operators._update_valid_ops(model)
+    if operators._sources != nodes or operators._targets != nodes:
+        return None
+    valid = operators.valid_op.astype(np.uint8)
+    idx = {n: i for i, n in enumerate(nodes)}
+    adj = np.zeros((d, d), np.uint8)
+    for (s, tt) in model.arcs():
+        adj[idx[s], idx[tt]] = 1
+    ops = discrete_native.hc_discrete(
+        block, cards, node_cols, adj, valid, max_indegree, max_iters,
+        epsilon,
+    )
+    if ops is None:
+        return None
+    for kind, si, ti in ops.tolist():
+        s, tt = nodes[si], nodes[ti]
+        if kind == 0:
+            model.add_arc_unsafe(s, tt)
+        elif kind == 1:
+            model.remove_arc(s, tt)
+        else:  # FlipArc(s, tt): remove s->tt, add tt->s (legality proven)
+            model.remove_arc(s, tt)
+            model.add_arc_unsafe(tt, s)
+    operators.finished()
+    return model
 
 
 class GreedyHillClimbing:
@@ -94,6 +168,15 @@ class GreedyHillClimbing:
         operators.set_type_blacklist(type_blacklist)
         operators.set_type_whitelist(type_whitelist)
         operators.set_max_indegree(max_indegree)
+
+        if callback is None and patience == 0 and not validated:
+            fast = _native_discrete_hc(
+                operators, score, current_model, max_indegree, max_iters,
+                epsilon,
+            )
+            if fast is not None:
+                progress.mark_as_completed("Finished Hill-climbing!")
+                return fast
 
         prev_current_model = current_model.clone()
         best_model = current_model

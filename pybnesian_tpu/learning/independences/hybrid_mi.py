@@ -46,9 +46,86 @@ class MutualInformation(IndependenceTest):
         for c in self.df.column_names():
             if not (self.df.is_discrete(c) or self.df.is_continuous(c)):
                 raise ValueError(f"Wrong data type for column {c}.")
+        self._native_cache = None
 
     def variable_names(self) -> list[str]:
         return self.df.column_names()
+
+    def _native_codes(self):
+        if self._native_cache is None:
+            cols = self.df.discrete_columns()
+            block = (
+                np.ascontiguousarray(
+                    np.stack(
+                        [self.df.codes(c).astype(np.int32) for c in cols]
+                    )
+                )
+                if cols
+                else np.zeros((0, self.df.num_rows), np.int32)
+            )
+            cards = np.array(
+                [self.df.cardinality(c) for c in cols], np.int64
+            )
+            self._native_cache = (
+                {c: i for i, c in enumerate(cols)}, block, cards,
+                frozenset(cols),
+            )
+        return self._native_cache
+
+    def pvalue_batch(self, triples) -> np.ndarray:
+        """Batched sweep: all-discrete tests (x, y and every z discrete —
+        the G-test case, reference cmi_discrete_discrete) run as ONE native
+        counting pass (discretecore dc_gtest_batch); tests touching
+        continuous variables keep the serial grouped-moment path."""
+        from ..scores import discrete_native
+
+        triples = list(triples)
+        if not triples or not discrete_native.available():
+            return super().pvalue_batch(triples)
+        pos, block, cards, disc = self._native_codes()
+        nat = [
+            i
+            for i, (x, y, zs) in enumerate(triples)
+            if x in disc and y in disc and all(zv in disc for zv in zs)
+        ]
+        out = np.empty(len(triples))
+        rest = [i for i in range(len(triples)) if i not in set(nat)]
+        for i in rest:
+            x, y, zs = triples[i]
+            out[i] = self.pvalue(x, y, *zs)
+        if not nat:
+            return out
+        F = len(nat)
+        maxz = max((len(triples[i][2]) for i in nat), default=0)
+        maxz = max(maxz, 1)
+        tx = np.empty(F, np.int32)
+        ty = np.empty(F, np.int32)
+        tz = np.full((F, maxz), -1, np.int32)
+        dof = np.empty(F)
+        for f, i in enumerate(nat):
+            x, y, zs = triples[i]
+            tx[f] = pos[x]
+            ty[f] = pos[y]
+            for j, zv in enumerate(zs):
+                tz[f, j] = pos[zv]
+            dof[f] = self._calculate_df(x, y, list(zs), [])
+        if (dof <= 0).any():
+            raise ValueError(
+                "Chi-squared distribution requires dof > 0 "
+                "(a tested column has a single category)."
+            )
+        stats, _ns = discrete_native.gtest_batch(block, cards, tx, ty, tz)
+        bad = np.isnan(stats)
+        vals = gammaincc(
+            0.5 * dof, np.maximum(np.where(bad, 0.0, stats), 0.0)
+        )
+        for f, i in enumerate(nat):
+            if bad[f]:
+                x, y, zs = triples[i]
+                out[i] = self.pvalue(x, y, *zs)
+            else:
+                out[i] = vals[f]
+        return out
 
     # ------------------------------------------------------------ helpers
     def _card(self, v: str) -> int:

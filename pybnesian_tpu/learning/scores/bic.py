@@ -286,16 +286,54 @@ class BIC(Score):
             if discrete_native.available():
                 pos, block, cards = self._native_codes()
                 F = len(fams)
-                maxp = max((len(ps) for _, ps in fams), default=0)
-                maxp = max(maxp, 1)
-                fam_var = np.array([pos[v] for v, _ in fams], np.int32)
-                fam_parents = np.full((F, maxp), -1, np.int32)
-                for f, (_, ps) in enumerate(fams):
-                    for j, p in enumerate(ps):
-                        fam_parents[f, j] = pos[p]
-                scores = discrete_native.bic_batch(
-                    block, cards, fam_var, fam_parents
-                )
+                scores = np.empty(F)
+                # hc column updates score many (t, P ∪ {s}) families that
+                # share (t, P): group them so ONE shared-base pass counts
+                # every candidate (dc_bic_addcand) instead of re-reading
+                # the base columns per family. Only pays off once the code
+                # block outgrows cache (memory-bound regime); for resident
+                # blocks the specialized per-family loops are op-bound and
+                # faster.
+                groups: dict = {}
+                if self.df.num_rows >= 65536:
+                    for i, (v, ps) in enumerate(fams):
+                        if ps:
+                            groups.setdefault(
+                                (v, tuple(ps[:-1])), []
+                            ).append(i)
+                rest = []
+                done = np.zeros(F, bool)
+                for (v, basep), idxs in groups.items():
+                    if len(idxs) < 4:
+                        continue
+                    base_idx = np.fromiter(
+                        (pos[p] for p in basep), np.int32, len(basep)
+                    )
+                    cand_idx = np.fromiter(
+                        (pos[fams[i][1][-1]] for i in idxs), np.int32,
+                        len(idxs),
+                    )
+                    vals = discrete_native.bic_addcand(
+                        block, cards, pos[v], base_idx, cand_idx
+                    )
+                    scores[idxs] = vals
+                    done[idxs] = True
+                rest = [i for i in range(F) if not done[i]]
+                if rest:
+                    maxp = max(
+                        (len(fams[i][1]) for i in rest), default=0
+                    )
+                    maxp = max(maxp, 1)
+                    fam_var = np.array(
+                        [pos[fams[i][0]] for i in rest], np.int32
+                    )
+                    fam_parents = np.full((len(rest), maxp), -1, np.int32)
+                    for f, i in enumerate(rest):
+                        for j, p in enumerate(fams[i][1]):
+                            fam_parents[f, j] = pos[p]
+                    scores[rest] = discrete_native.bic_batch(
+                        block, cards, fam_var, fam_parents
+                    )
                 bad = np.isnan(scores)
                 if bad.any():
                     for i in np.nonzero(bad)[0]:

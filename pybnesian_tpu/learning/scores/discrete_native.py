@@ -13,7 +13,7 @@ import os
 
 import numpy as np
 
-__all__ = ["available", "bic_batch"]
+__all__ = ["available", "bic_batch", "bic_addcand", "hc_discrete", "chi2_batch", "gtest_batch"]
 
 _LIB = None
 _TRIED = False
@@ -42,6 +42,39 @@ def _load():
             ctypes.c_int64, ctypes.POINTER(ctypes.c_double),
         ]
         lib.dc_bic_batch.restype = None
+        lib.dc_bic_addcand.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.dc_bic_addcand.restype = None
+        lib.dc_hc.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32, ctypes.c_int64,
+            ctypes.c_double, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+        ]
+        lib.dc_hc.restype = ctypes.c_int32
+        lib.dc_chi2_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.dc_chi2_batch.restype = None
+        lib.dc_gtest_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.dc_gtest_batch.restype = None
         _LIB = lib
     except Exception:  # pragma: no cover - toolchain specific
         _LIB = None
@@ -81,3 +114,136 @@ def bic_batch(codes_block: np.ndarray, cards: np.ndarray,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
     )
     return out
+
+
+def bic_addcand(codes_block: np.ndarray, cards: np.ndarray, tcol: int,
+                base_idx: np.ndarray, cand_idx: np.ndarray) -> np.ndarray:
+    """BIC scores of the families (tcol, base_idx + [c]) for every c in
+    ``cand_idx`` — one shared-base counting pass (dc_bic_addcand). Counts
+    and scores are identical to :func:`bic_batch` on the expanded family
+    list; NaN marks config-space overflow or all-null families."""
+    lib = _load()
+    assert lib is not None
+    ncols, n = codes_block.shape
+    base_idx = np.ascontiguousarray(base_idx, np.int32)
+    cand_idx = np.ascontiguousarray(cand_idx, np.int32)
+    out = np.empty(len(cand_idx), np.float64)
+    lib.dc_bic_addcand(
+        codes_block.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n,
+        np.ascontiguousarray(cards, np.int64).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int64)
+        ),
+        int(tcol),
+        base_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(base_idx),
+        cand_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(cand_idx),
+        MAX_CONFIGS,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    return out
+
+
+def hc_discrete(codes_block: np.ndarray, cards: np.ndarray,
+                node_cols: np.ndarray, adj: np.ndarray, valid: np.ndarray,
+                max_indegree: int, max_iters: int, epsilon: float):
+    """Run the full discrete-BIC ArcOperatorSet hill-climbing natively
+    (dc_hc). Returns the (kind, s, t) op list, or None when the native
+    loop aborts (config-space overflow — caller runs the generic path).
+    kind: 0 AddArc(s, t), 1 RemoveArc(s, t), 2 FlipArc(s, t)."""
+    lib = _load()
+    assert lib is not None
+    ncols, n = codes_block.shape
+    d = len(node_cols)
+    node_cols = np.ascontiguousarray(node_cols, np.int32)
+    adj = np.ascontiguousarray(adj, np.uint8)
+    valid = np.ascontiguousarray(valid, np.uint8)
+    max_ops = max(4 * d * d, 1024)
+    out_ops = np.empty((max_ops, 3), np.int32)
+    rc = lib.dc_hc(
+        codes_block.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n,
+        np.ascontiguousarray(cards, np.int64).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int64)
+        ),
+        node_cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        d,
+        adj.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        int(max_indegree),
+        int(max_iters),
+        float(epsilon),
+        MAX_CONFIGS,
+        out_ops.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        max_ops,
+    )
+    if rc < 0:
+        return None
+    return out_ops[:rc]
+
+
+def chi2_batch(codes_block: np.ndarray, cards: np.ndarray,
+               tx: np.ndarray, ty: np.ndarray, tz: np.ndarray) -> np.ndarray:
+    """Pearson χ² statistics for F conditional tests x ⊥ y | Z.
+    ``tz`` is (F, maxz) with -1 padding. NaN marks config-space overflow
+    (caller falls back to the serial path for that test)."""
+    lib = _load()
+    assert lib is not None
+    ncols, n = codes_block.shape
+    F, maxz = tz.shape if tz.ndim == 2 else (len(tx), 0)
+    if maxz == 0:
+        tz = np.full((F, 1), -1, np.int32)
+        maxz = 1
+    out = np.empty(F, np.float64)
+    lib.dc_chi2_batch(
+        codes_block.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n,
+        np.ascontiguousarray(cards, np.int64).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int64)
+        ),
+        np.ascontiguousarray(tx, np.int32).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int32)
+        ),
+        np.ascontiguousarray(ty, np.int32).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int32)
+        ),
+        np.ascontiguousarray(tz, np.int32).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int32)
+        ),
+        F, maxz, MAX_CONFIGS,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    return out
+
+
+def gtest_batch(codes_block: np.ndarray, cards: np.ndarray,
+                tx: np.ndarray, ty: np.ndarray, tz: np.ndarray):
+    """(N·MI statistic, valid-row count) for F all-discrete conditional MI
+    tests. NaN statistic marks config-space overflow."""
+    lib = _load()
+    assert lib is not None
+    ncols, n = codes_block.shape
+    F, maxz = tz.shape
+    out = np.empty(F, np.float64)
+    out_n = np.empty(F, np.float64)
+    lib.dc_gtest_batch(
+        codes_block.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n,
+        np.ascontiguousarray(cards, np.int64).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int64)
+        ),
+        np.ascontiguousarray(tx, np.int32).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int32)
+        ),
+        np.ascontiguousarray(ty, np.int32).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int32)
+        ),
+        np.ascontiguousarray(tz, np.int32).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int32)
+        ),
+        F, maxz, MAX_CONFIGS,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        out_n.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    return out, out_n

@@ -115,7 +115,7 @@ def _lg_factor_native_slogl(cpd, df):
     (reference BNGeneric::slogl contract). Returns None whenever the fast
     preconditions fail (caller runs the generic numpy path)."""
     mod = _lgfast_mod()
-    if mod is None or type(df) is not (_PD_DF or _pandas_df_cls()):
+    if mod is None:
         return None
     v = cpd._variance
     if not (isinstance(v, float) and v > 0.0 and math.isfinite(v)):
@@ -130,21 +130,42 @@ def _lg_factor_native_slogl(cpd, df):
         or not beta.flags.c_contiguous
     ):
         return None
-    mgr = getattr(df, "_mgr", None)
-    blocks = getattr(mgr, "blocks", None)
-    if not blocks or any(b.dtype != np.float64 for b in blocks):
-        return None
-    cm = _df_colmap(df)
-    if cm is None:
-        return None
-    pos = cm[2]
-    try:
-        yidx = np.array([pos[cpd._variable]], np.int32)
-        pidx = np.fromiter((pos[e] for e in ev), np.int32, len(ev))
-    except KeyError:
-        return None
-    vals = _df_values(df, cm)
-    if vals.dtype != np.float64 or vals.ndim != 2:
+    if type(df) is (_PD_DF or _pandas_df_cls()):
+        mgr = getattr(df, "_mgr", None)
+        blocks = getattr(mgr, "blocks", None)
+        if not blocks or any(b.dtype != np.float64 for b in blocks):
+            return None
+        cm = _df_colmap(df)
+        if cm is None:
+            return None
+        pos = cm[2]
+        try:
+            yidx = np.array([pos[cpd._variable]], np.int32)
+            pidx = np.fromiter((pos[e] for e in ev), np.int32, len(ev))
+        except KeyError:
+            return None
+        vals = _df_values(df, cm)
+        if vals.dtype != np.float64 or vals.ndim != 2:
+            return None
+    elif type(df) is DataFrame:
+        # wrapped frame: stack the family columns as (k+1, n) and hand the
+        # kernel the F-contiguous transpose, so the unit-stride SIMD loops
+        # run and the value is BITWISE identical to the pandas route (the
+        # reference's slogl identity tests compare across entry points)
+        arrs = []
+        for c in (cpd._variable, *ev):
+            col = df._columns.get(c)
+            if col is None or col.categories is not None:
+                return None
+            cv = col.values
+            if cv.dtype != np.float64 or not cv.flags.c_contiguous:
+                return None
+            arrs.append(cv)
+        vals = np.stack(arrs).T
+        k = len(ev)
+        yidx = np.array([0], np.int32)
+        pidx = np.arange(1, k + 1, dtype=np.int32)
+    else:
         return None
     indptr = np.array([0, len(ev)], np.int32)
     out = np.empty(1)
@@ -1327,9 +1348,10 @@ class BayesianNetworkBase:
                 return out
         self._check_fitted()
         df = DataFrame.wrap(df)
-        fast = self._lg_fast_logl_matrix(df)
-        if fast is not None:
-            return float(fast.sum())
+        # NOTE: no matrix shortcut here — slogl is the SUM of per-factor
+        # slogl values (reference BNGeneric::slogl:1010, asserted bitwise
+        # by its suite), and each LG factor's slogl is already one native
+        # call
         batched = self._batched_ckde_logl(df)
         total = 0.0
         for n in self._fit_nodes():

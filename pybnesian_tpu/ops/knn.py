@@ -79,3 +79,28 @@ def cmi_knn_conditional_batch(xs, y, dz, k):
         return cmi_knn_conditional(x, y, dz, k)
 
     return jax.lax.map(one, xs)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def cmi_knn_pair_tests(xs_t, ys_t, k):
+    """MI for T tests × S permutations in ONE launch: xs_t (T, S, N)
+    against per-test ys_t (T, N). Returns (T, S). Cross-test batching for
+    the PC sweep (each extra launch costs a dispatch round trip)."""
+
+    def one_test(args):
+        xs, y = args
+        return jax.lax.map(lambda x: cmi_knn_pair(x, y, k), xs)
+
+    return jax.lax.map(one_test, (xs_t, ys_t))
+
+
+@partial(jax.jit, static_argnames=("k",))
+def cmi_knn_conditional_tests(xs_t, ys_t, dz_t, k):
+    """CMI for T tests × S draws in ONE launch: xs_t (T, S, N), ys_t
+    (T, N), dz_t (T, N, N). Returns (T, S)."""
+
+    def one_test(args):
+        xs, y, dz = args
+        return jax.lax.map(lambda x: cmi_knn_conditional(x, y, dz, k), xs)
+
+    return jax.lax.map(one_test, (xs_t, ys_t, dz_t))
