@@ -596,10 +596,52 @@ def sample_chains_sharded(logdensity, init, key, mesh, axis: str = "data",
         jax.random.fold_in(key, 1), (num_chains, dim), init.dtype
     )
     inits = init[None, :] + jitter
-    sampler = nuts if method == "nuts" else hmc
+    if method == "nuts":
+        # run the CHAIN-BATCHED sampler per shard: each device advances its
+        # chains_per_device chains together, skipping whole doubling levels
+        # once every local chain U-turns (nuts_chains) — vmap(nuts) would
+        # pay all 2^max_depth - 1 leapfrogs per transition per chain
+        from ..parallel import shard_map
+
+        key_spec = P(axis) if keys.ndim == 1 else P(axis, None)
+
+        def run_shard(i, k):
+            return nuts_chains(logdensity, i, k, **kwargs)
+
+        out_specs = (
+            P(axis, None, None),
+            {
+                "step_size": P(axis),
+                "accept_rate": P(axis),
+                "warmup_accept_rate": P(axis),
+                "inv_mass": P(axis, None),
+            },
+        )
+        # no collectives inside (chains are independent), so the varying-
+        # manual-axes bookkeeping is unnecessary — and constant-initialized
+        # scan carries inside nuts_chains trip its type check
+        try:
+            fn = shard_map(
+                run_shard,
+                mesh=mesh,
+                in_specs=(P(axis, None), key_spec),
+                out_specs=out_specs,
+                check_vma=False,
+            )
+        except TypeError:  # older jax spelling
+            fn = shard_map(
+                run_shard,
+                mesh=mesh,
+                in_specs=(P(axis, None), key_spec),
+                out_specs=out_specs,
+                check_rep=False,
+            )
+        inits = jax.device_put(inits, NamedSharding(mesh, P(axis, None)))
+        keys = jax.device_put(keys, NamedSharding(mesh, key_spec))
+        return jax.jit(fn)(inits, keys)
 
     def run(i, k):
-        return sampler(logdensity, i, k, **kwargs)
+        return hmc(logdensity, i, k, **kwargs)
 
     sharding = NamedSharding(mesh, P(axis))
     inits = jax.device_put(inits, NamedSharding(mesh, P(axis, None)))

@@ -199,6 +199,16 @@ def _batched_kernels():
 _batched = None
 
 
+def _get_batched():
+    """Lazily built (fused_z, pair_stats) batch kernels — also the entry
+    point the multi-chip dryrun uses to validate the fused conditional
+    batch under a sharded test axis."""
+    global _batched
+    if _batched is None:
+        _batched = _batched_kernels()
+    return _batched
+
+
 def _twz_kernels():
     import jax
     import jax.numpy as jnp
@@ -422,10 +432,7 @@ class RCoT(IndependenceTest):
             zcols = tuple(c for c in zs if var[c] > 0)
             groups.setdefault(len(zcols), []).append((i, x, y, zcols))
 
-        global _batched
-        if _batched is None:
-            _batched = _batched_kernels()
-        fused_z, pair_stats = _batched
+        fused_z, pair_stats = _get_batched()
 
         n = self.df.num_rows
         two_pi = 2 * np.pi
