@@ -161,11 +161,12 @@ def _batched_kernels():
         products and their eigendecomposition. The ill-conditioned solve
         runs as a jittered Cholesky (czz has a UNIT diagonal — the feature
         columns are standardized — so +1e-5·I is a relative ridge just
-        above the f32 Gram noise floor): the f32-safe equivalent of the
-        serial path's host f64 LU-with-jitter, and ~5× cheaper on TPU than
-        a spectral pseudo-inverse (QDWH eigh measured 222 ms vs 44 ms for
-        a (32, 100, 100) batch). Returns only (B,) statistics and
-        (B, num_xy²) eigenvalues, so the D2H fetch is tiny."""
+        above the f32 Gram noise floor). The serial path applies the SAME
+        1e-5 ridge (round-5 unification: with a shared feature draw the
+        two routes now differ only by f32-vs-f64 arithmetic, pinned by
+        tests/learning/test_rcot_solve_parity.py). Returns only (B,)
+        statistics and (B, num_xy²) eigenvalues, so the D2H fetch is
+        tiny."""
         n = data.shape[0]
         fx = _feat1(data, xc, Wx, bx)
         fy = _feat1(data, yc, Wy, by)
@@ -262,9 +263,12 @@ def _test_with_z_core(fx, fy, fz):
     n = len(fx)
     cxy, czz, cxz, czy = (np.array(m, np.float64)
                           for m in covs(fx, fy, fz))
-    czz[np.diag_indices_from(czz)] += 1e-10
-    # host f64 LU solve (matches the reference's inv; device czz may carry
-    # f32 noise that breaks a strict Cholesky)
+    # SAME relative ridge as the fused batch kernel (unit diagonal after
+    # standardization); the reference uses a plain inverse (RCoT.hpp:355)
+    # which this regularizes against f32-feature Gram noise
+    czz[np.diag_indices_from(czz)] += 1e-5
+    # host f64 LU solve (device czz may carry f32 noise that breaks a
+    # strict Cholesky)
     B1 = np.linalg.solve(czz, cxz.T)   # i_czz @ cxz.T  (num_z, num_xy)
     B2 = np.linalg.solve(czz, czy)     # i_czz @ czy
     cxy_z = cxy - cxz @ B2

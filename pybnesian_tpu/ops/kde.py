@@ -510,27 +510,49 @@ def ucv_pair_sums(train_white, valid, chunk=512):
     bandwidths 2H and H from ONE pairwise-distance computation (the reference
     computes the triangle with dedicated sum_ucv kernels, kde/UCV.cpp and
     KDE.cl.src:471-565). train_white: (Npad, d) with rows padded;
-    valid: (Npad,) 0/1."""
+    valid: (Npad,) 0/1.
+
+    The kernel is at the f32 exp roofline (docs/PERFORMANCE.md), so the
+    only real lever is evaluating FEWER exps: the block sweep walks only
+    the upper-triangle (ci ≤ cj) chunk pairs — ~2× fewer transcendentals
+    than a full (chunk × Npad) rectangle per chunk, with the i ≥ j half of
+    diagonal blocks as the only waste."""
     d = train_white.shape[1]
     npad = train_white.shape[0]
-    tn = jnp.sum(jnp.square(train_white), axis=1)
     row_ids = jnp.arange(npad)
+    n_chunks = npad // chunk
+    ci = []
+    cj = []
+    for a in range(n_chunks):
+        for b in range(a, n_chunks):
+            ci.append(a)
+            cj.append(b)
+    ci = jnp.asarray(ci, jnp.int32)
+    cj = jnp.asarray(cj, jnp.int32)
 
-    def body(start):
-        tc = jax.lax.dynamic_slice(train_white, (start * chunk, 0), (chunk, d))
-        ids = jax.lax.dynamic_slice(row_ids, (start * chunk,), (chunk,))
-        vc = jax.lax.dynamic_slice(valid, (start * chunk,), (chunk,))
-        cross = _dot(tc, train_white.T)
-        d2 = jnp.sum(jnp.square(tc), axis=1)[:, None] - 2.0 * cross + tn[None, :]
-        pair_mask = (ids[:, None] < row_ids[None, :]) & (vc[:, None] > 0) & (
-            valid[None, :] > 0
+    def body(args):
+        a, b = args
+        za = jnp.zeros((), a.dtype)
+        ta = jax.lax.dynamic_slice(train_white, (a * chunk, za), (chunk, d))
+        tb = jax.lax.dynamic_slice(train_white, (b * chunk, za), (chunk, d))
+        ia = jax.lax.dynamic_slice(row_ids, (a * chunk,), (chunk,))
+        ib = jax.lax.dynamic_slice(row_ids, (b * chunk,), (chunk,))
+        va = jax.lax.dynamic_slice(valid, (a * chunk,), (chunk,))
+        vb = jax.lax.dynamic_slice(valid, (b * chunk,), (chunk,))
+        cross = _dot(ta, tb.T)
+        d2 = (
+            jnp.sum(jnp.square(ta), axis=1)[:, None]
+            - 2.0 * cross
+            + jnp.sum(jnp.square(tb), axis=1)[None, :]
+        )
+        pair_mask = (ia[:, None] < ib[None, :]) & (va[:, None] > 0) & (
+            vb[None, :] > 0
         )
         # one transcendental per pair: exp(-1/2 d2) = exp(-1/4 d2)^2
         e = jnp.where(pair_mask, jnp.exp(-0.25 * d2), 0.0)
         return jnp.sum(e), jnp.sum(e * e)
 
-    n_chunks = npad // chunk
-    s2h, sh = jax.lax.map(body, jnp.arange(n_chunks))
+    s2h, sh = jax.lax.map(body, (ci, cj))
     return jnp.sum(s2h), jnp.sum(sh)
 
 
