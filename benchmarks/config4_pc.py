@@ -121,11 +121,54 @@ def bench_rcot(df, n_nodes=N_NODES):
     return test.count / (time.time() - t0), test.count
 
 
+def rcot_kernel_only_rate(df, B=32):
+    """Device-kernel ceiling for the conditional RCoT batch: time ONE fused
+    launch (feature maps → conditioning solve → eigvals) of B tests at the
+    benchmark shape, with a forced fetch. End-to-end ÷ this = how much of
+    the device rate the whole PC pipeline (sigma draws, p-value tail,
+    batching logic) sustains."""
+    import jax.numpy as jnp
+
+    from pybnesian_tpu import RCoT
+    from pybnesian_tpu.learning.independences.rcot import _get_batched
+
+    inner = RCoT(df[df.columns[:8]], seed=0)
+    data, pos = inner._device_data()
+    fused_z, _ = _get_batched()
+    rng = np.random.default_rng(0)
+    f, fz = 5, 100
+    dz = 2
+    xc = jnp.asarray((np.arange(B) % 4).astype(np.int32))
+    yc = jnp.asarray(((np.arange(B) + 1) % 4).astype(np.int32))
+    zc = jnp.asarray(
+        np.stack([(np.arange(B) + 2) % 8, (np.arange(B) + 3) % 8], 1)
+        .astype(np.int32)
+    )
+    zm = jnp.ones((B, dz), jnp.float32)
+    mk = lambda *shape: jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    args = (data, xc, mk(B, f), mk(B, f), yc, mk(B, f), mk(B, f), zc, zm,
+            mk(B, dz, fz), mk(B, fz))
+    np.asarray(fused_z(*args)[0])  # compile + warm
+    best = np.inf
+    for r in range(3):
+        args = (data, xc, mk(B, f), mk(B, f), yc, mk(B, f), mk(B, f), zc,
+                zm, mk(B, dz, fz), mk(B, fz))
+        t0 = time.time()
+        np.asarray(fused_z(*args)[0])
+        best = min(best, time.time() - t0)
+    return B / best
+
+
 def main():
     df = make_data()
     rate, n_tests, n_links = bench_ours(df)
     base = bench_baseline(df)
     rcot_rate, rcot_tests = bench_rcot(df)
+    try:
+        kernel_rate = rcot_kernel_only_rate(df)
+        rcot_fraction = round(rcot_rate / kernel_rate, 2)
+    except Exception:
+        kernel_rate = rcot_fraction = None
     print(json.dumps({
         "metric": "config4_pc_pvalues_per_s_50n_100k",
         "value": round(rate, 1),
@@ -133,6 +176,9 @@ def main():
         "vs_baseline": round(rate / base, 2),
         "rcot_pvalues_per_s_50n_100k": round(rcot_rate, 1),
         "rcot_tests": rcot_tests,
+        "rcot_kernel_only_pvalues_per_s": round(kernel_rate, 1) if kernel_rate else None,
+        "roofline_fraction": rcot_fraction,
+        "roofline_basis": "RCoT end-to-end pvalues/s vs one-launch fused-kernel rate at the same shape",
     }))
 
 

@@ -74,17 +74,53 @@ def main():
             num_samples=NUM_SAMPLES, num_warmup=NUM_WARMUP, max_depth=6,
         )
         np.asarray(chains)  # block
+        return _info
 
     sharded_run(1)
     t0 = time.time()
-    sharded_run(2)
+    info = sharded_run(2)
     rate = n_chains * NUM_SAMPLES / (time.time() - t0)
+
+    # hardware self-audit: useful gradient evaluations per second (mean
+    # leapfrogs per kept sample, reported by the chain-batched sampler)
+    # vs the chip's raw batched-gradient rate measured standalone. The gap
+    # is tree bookkeeping + lanes wasted on already-U-turned chains.
+    try:
+        import jax.numpy as jnp
+
+        mean_lf = float(np.mean(np.asarray(info["mean_leapfrogs"])))
+        vg = jax.vmap(jax.value_and_grad(logp))
+        th = jnp.zeros((n_chains, init.shape[0]), init.dtype)
+
+        CH = 20_000  # long dependent chain: amortizes the ~25 ms dispatch
+
+        @jax.jit
+        def grad_chain(t):
+            def body(c, _):
+                _lp, g = vg(c)
+                return c + 1e-9 * g, None
+
+            out, _ = jax.lax.scan(body, t, None, length=CH)
+            return out
+
+        np.asarray(grad_chain(th))
+        t0 = time.time()
+        np.asarray(grad_chain(th + 1e-6))
+        grad_ceiling = CH * n_chains / (time.time() - t0)
+        achieved = rate * mean_lf
+        roofline_fraction = round(achieved / grad_ceiling, 2)
+    except Exception:
+        mean_lf = None
+        roofline_fraction = None
 
     print(json.dumps({
         "metric": "config5_nuts_samples_per_s",
         "value": round(rate, 1),
         "unit": f"NUTS samples/s ({n_chains} chains on {n_dev} device(s))",
         "vs_baseline": round(rate / single, 2),
+        "mean_leapfrogs_per_sample": round(mean_lf, 1) if mean_lf else None,
+        "roofline_fraction": roofline_fraction,
+        "roofline_basis": "useful grad-evals/s vs standalone batched-gradient rate",
     }))
 
 

@@ -490,7 +490,7 @@ def _nuts_step_chains(vg_b, theta, logp, grad, key, step, inv_mass,
 
     accept_stat = state["sum_accept"] / jnp.maximum(state["n_steps"], 1.0)
     return (state["sample"], state["sample_lp"], state["sample_g"],
-            key_out, accept_stat)
+            key_out, accept_stat, state["n_steps"])
 
 
 def nuts_chains(logdensity: Callable, inits, keys, num_samples: int = 1000,
@@ -513,7 +513,7 @@ def nuts_chains(logdensity: Callable, inits, keys, num_samples: int = 1000,
             jnp.maximum(m2 / jnp.maximum(count - 1.0, 1.0), 1e-6),
             jnp.ones((C, dim), theta.dtype),
         )
-        theta, logp, grad, key, accept = _nuts_step_chains(
+        theta, logp, grad, key, accept, _n = _nuts_step_chains(
             vg_b, theta, logp, grad, key, step, inv_mass, max_depth
         )
         da = _da_update(da, accept, target=target_accept)
@@ -538,12 +538,12 @@ def nuts_chains(logdensity: Callable, inits, keys, num_samples: int = 1000,
 
     def sample_step(carry, _):
         theta, logp, grad, key = carry
-        theta, logp, grad, key, accept = _nuts_step_chains(
+        theta, logp, grad, key, accept, nlf = _nuts_step_chains(
             vg_b, theta, logp, grad, key, step, inv_mass, max_depth
         )
-        return (theta, logp, grad, key), (theta, accept)
+        return (theta, logp, grad, key), (theta, accept, nlf)
 
-    _, (samples, accepts) = jax.lax.scan(
+    _, (samples, accepts, nlfs) = jax.lax.scan(
         sample_step, (theta, logp, grad, keys), None, length=num_samples
     )
     info = {
@@ -551,6 +551,9 @@ def nuts_chains(logdensity: Callable, inits, keys, num_samples: int = 1000,
         "accept_rate": jnp.mean(accepts, axis=0),
         "warmup_accept_rate": jnp.mean(warm_accept, axis=0),
         "inv_mass": inv_mass,
+        # mean leapfrogs (= gradient evaluations) per kept sample — lets
+        # benchmarks audit samples/s against the chip's raw gradient rate
+        "mean_leapfrogs": jnp.mean(nlfs, axis=0),
     }
     return jnp.swapaxes(samples, 0, 1), info
 
@@ -615,6 +618,7 @@ def sample_chains_sharded(logdensity, init, key, mesh, axis: str = "data",
                 "accept_rate": P(axis),
                 "warmup_accept_rate": P(axis),
                 "inv_mass": P(axis, None),
+                "mean_leapfrogs": P(axis),
             },
         )
         # no collectives inside (chains are independent), so the varying-
