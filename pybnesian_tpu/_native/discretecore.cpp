@@ -386,6 +386,52 @@ void gtest_range(const int32_t* codes, int64_t n, const int64_t* cards,
     }
 }
 
+// Grouped first/second moments for the hybrid-MI per-configuration
+// covariance determinants (reference mutual_information.cpp:958-1033):
+// TWO fused passes — counts+sums (→ group means), then products of
+// group-CENTRED values — replacing ~d+d²/2 separate weighted-bincount
+// sweeps on the Python side. Rows with valid==0 are skipped.
+void grouped_moments(const double* vals, const int64_t* idx,
+                     const uint8_t* valid, int64_t n, int32_t d,
+                     int64_t n_configs, int64_t* counts, double* sums,
+                     double* sq) {
+    for (int64_t c = 0; c < n_configs; ++c) counts[c] = 0;
+    for (int64_t c = 0; c < (int64_t)n_configs * d; ++c) sums[c] = 0.0;
+    for (int64_t c = 0; c < (int64_t)n_configs * d * d; ++c) sq[c] = 0.0;
+    for (int64_t i = 0; i < n; ++i) {
+        if (!valid[i]) continue;
+        const int64_t c = idx[i];
+        ++counts[c];
+        const double* row = vals + i * d;
+        double* s = sums + c * d;
+        for (int32_t j = 0; j < d; ++j) s[j] += row[j];
+    }
+    // means in-place scratch: reuse a local buffer per config on pass 2
+    std::vector<double> means((size_t)n_configs * d);
+    for (int64_t c = 0; c < n_configs; ++c) {
+        const double inv = counts[c] > 0 ? 1.0 / (double)counts[c] : 0.0;
+        for (int32_t j = 0; j < d; ++j)
+            means[c * d + j] = sums[c * d + j] * inv;
+    }
+    for (int64_t i = 0; i < n; ++i) {
+        if (!valid[i]) continue;
+        const int64_t c = idx[i];
+        const double* row = vals + i * d;
+        const double* m = means.data() + c * d;
+        double* q = sq + c * d * d;
+        double diff[16];
+        for (int32_t j = 0; j < d; ++j) diff[j] = row[j] - m[j];
+        for (int32_t j = 0; j < d; ++j)
+            for (int32_t l = j; l < d; ++l)
+                q[j * d + l] += diff[j] * diff[l];
+    }
+    for (int64_t c = 0; c < n_configs; ++c) {
+        double* q = sq + c * d * d;
+        for (int32_t j = 0; j < d; ++j)
+            for (int32_t l = j + 1; l < d; ++l) q[l * d + j] = q[j * d + l];
+    }
+}
+
 // ------------------------------------------------------------------ hc core
 // Whole greedy hill-climbing loop for discrete-BIC ArcOperatorSet searches
 // (the reference runs this loop in C++: operators.cpp:100-437 +
@@ -548,6 +594,15 @@ void dc_chi2_batch(const int32_t* codes, int64_t n, const int64_t* cards,
         chi2_range(codes, n, cards, tx, ty, tz, 0, F, maxz, max_configs,
                    out);
     }
+}
+
+// Grouped moments entry (see grouped_moments above). d capped at 16.
+void dc_grouped_moments(const double* vals, const int64_t* idx,
+                        const uint8_t* valid, int64_t n, int32_t d,
+                        int64_t n_configs, int64_t* counts, double* sums,
+                        double* sq) {
+    if (d > 16) return;  // caller guards; keep diff[] on the stack
+    grouped_moments(vals, idx, valid, n, d, n_configs, counts, sums, sq);
 }
 
 // N·MI G-test statistics + valid-row counts (see gtest_range above).

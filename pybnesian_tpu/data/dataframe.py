@@ -310,13 +310,21 @@ class DataFrame:
     # ------------------------------------------------------------------ nulls
     def combined_mask(self, *names: str) -> np.ndarray:
         """Boolean validity mask: True where *all* given columns are non-null
-        (reference ``combined_bitmap``, dataset/dataset.hpp:79)."""
+        (reference ``combined_bitmap``, dataset/dataset.hpp:79). Per-column
+        validity is cached (columns are immutable): constraint searches
+        call this thousands of times over the same columns."""
         names = self._expand(names)
         if not names:
             names = self._names
+        cache = self._dev_cache
         mask = np.ones(self._num_rows, dtype=bool)
         for n in names:
-            mask &= ~self.col(n).null_mask()
+            key = ("validmask", n)
+            vm = cache.get(key)
+            if vm is None:
+                vm = ~self.col(n).null_mask()
+                cache[key] = vm
+            mask &= vm
         return mask
 
     def null_count(self, *names: str) -> int:

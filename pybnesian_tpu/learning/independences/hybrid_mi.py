@@ -166,25 +166,36 @@ class MutualInformation(IndependenceTest):
         if d == 0:
             return dets
         mat = self.df.to_numpy(cont_vars, drop_null=False, dtype=np.float64)
-        sub = mat[valid]
-        idx = config_idx[valid]
-        cnt = np.bincount(idx, minlength=n_configs)
+        from ..scores import discrete_native
+
+        if (
+            discrete_native.available()
+            and d <= 16
+            and n_configs * d * d <= 8_000_000
+        ):
+            cnt, _sums, sq = discrete_native.grouped_moments(
+                mat, config_idx, valid, n_configs
+            )
+        else:
+            sub = mat[valid]
+            idx = config_idx[valid]
+            cnt = np.bincount(idx, minlength=n_configs)
+            sums = np.empty((n_configs, d))
+            for j in range(d):
+                sums[:, j] = np.bincount(idx, weights=sub[:, j],
+                                         minlength=n_configs)
+            gmean = sums / np.maximum(cnt, 1)[:, None]
+            sub = sub - gmean[idx]
+            sq = np.empty((n_configs, d, d))
+            for j in range(d):
+                for l in range(j, d):
+                    s = np.bincount(idx, weights=sub[:, j] * sub[:, l],
+                                    minlength=n_configs)
+                    sq[:, j, l] = s
+                    sq[:, l, j] = s
         ok = cnt > d
         if not ok.any():
             return dets
-        sums = np.empty((n_configs, d))
-        for j in range(d):
-            sums[:, j] = np.bincount(idx, weights=sub[:, j],
-                                     minlength=n_configs)
-        gmean = sums / np.maximum(cnt, 1)[:, None]
-        sub = sub - gmean[idx]
-        sq = np.empty((n_configs, d, d))
-        for j in range(d):
-            for l in range(j, d):
-                s = np.bincount(idx, weights=sub[:, j] * sub[:, l],
-                                minlength=n_configs)
-                sq[:, j, l] = s
-                sq[:, l, j] = s
         nk = cnt[ok].astype(np.float64)
         cov = sq[ok] / (nk - 1.0)[:, None, None]
         dets[ok] = np.linalg.det(cov)

@@ -13,7 +13,7 @@ import os
 
 import numpy as np
 
-__all__ = ["available", "bic_batch", "bic_addcand", "hc_discrete", "chi2_batch", "gtest_batch"]
+__all__ = ["available", "bic_batch", "bic_addcand", "hc_discrete", "chi2_batch", "gtest_batch", "grouped_moments"]
 
 _LIB = None
 _TRIED = False
@@ -75,6 +75,13 @@ def _load():
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
         ]
         lib.dc_gtest_batch.restype = None
+        lib.dc_grouped_moments.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.dc_grouped_moments.restype = None
         _LIB = lib
     except Exception:  # pragma: no cover - toolchain specific
         _LIB = None
@@ -247,3 +254,30 @@ def gtest_batch(codes_block: np.ndarray, cards: np.ndarray,
         out_n.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
     )
     return out, out_n
+
+
+def grouped_moments(vals: np.ndarray, idx: np.ndarray, valid: np.ndarray,
+                    n_configs: int):
+    """Per-config (counts, sums, group-centred product sums) over valid
+    rows in two fused native passes. vals: (n, d) float64 C-contiguous;
+    idx: (n,) int64; valid: (n,) uint8/bool. Returns (counts (C,),
+    sums (C, d), sq (C, d, d))."""
+    lib = _load()
+    assert lib is not None
+    n, d = vals.shape
+    vals = np.ascontiguousarray(vals, np.float64)
+    idx = np.ascontiguousarray(idx, np.int64)
+    valid = np.ascontiguousarray(valid, np.uint8)
+    counts = np.empty(n_configs, np.int64)
+    sums = np.empty((n_configs, d), np.float64)
+    sq = np.empty((n_configs, d, d), np.float64)
+    lib.dc_grouped_moments(
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n, d, n_configs,
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        sums.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        sq.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    return counts, sums, sq
