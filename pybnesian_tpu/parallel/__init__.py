@@ -191,13 +191,17 @@ def sharded_ckde_cv(mesh: Mesh, data, null_mask, col_idx, col_mask, tr_idx,
 
 
 def sharded_kde_slogl(mesh: Mesh, train_white, test_white, lognorm):
-    """KDE sum-log-likelihood with training points sharded over 'data':
-    a numerically stable distributed logsumexp over the training axis in
-    ONE collective — each shard shifts by its LOCAL max and all-gathers
-    the (local max, local shifted sum) pairs, then every shard combines
-    them identically. The earlier pmax+psum form paid two collective
-    latencies per call; the payload here (2·shards·m floats) is tiny next
-    to the latency on ICI."""
+    """KDE sum-log-likelihood with training points sharded over 'data': a
+    numerically stable distributed logsumexp over the training axis.
+
+    Two formulations, chosen by backend: on accelerators each shard shifts
+    by its LOCAL max and ONE all_gather moves the (max, shifted sum) pairs
+    — a single collective latency on ICI, with a tiny (2·shards·m)
+    payload. On CPU meshes (tests, virtual-device scaling runs) the
+    collectives are memcpys with no latency to save, and the replicated
+    combine is pure overhead — the classic pmax+psum form measures ~3%
+    better there (benchmarks/config6, solo medians)."""
+    one_collective = mesh.devices.flat[0].platform != "cpu"
 
     def kernel(tr, te, ln):
         tn = jnp.sum(jnp.square(tr), axis=1)
@@ -208,13 +212,21 @@ def sharded_kde_slogl(mesh: Mesh, train_white, test_white, lognorm):
         d2 = jnp.sum(jnp.square(te), axis=1)[:, None] - 2.0 * cross + tn[None, :]
         logits = -0.5 * d2
         local_max = jnp.max(logits, axis=1)
-        local_sum = jnp.sum(jnp.exp(logits - local_max[:, None]), axis=1)
-        pair = jnp.stack([local_max, local_sum])  # (2, m)
-        pairs = jax.lax.all_gather(pair, "data")  # (shards, 2, m)
-        maxes = pairs[:, 0, :]
-        sums = pairs[:, 1, :]
-        gmax = jnp.max(maxes, axis=0)
-        total = jnp.sum(sums * jnp.exp(maxes - gmax[None, :]), axis=0)
+        if one_collective:
+            local_sum = jnp.sum(
+                jnp.exp(logits - local_max[:, None]), axis=1
+            )
+            pair = jnp.stack([local_max, local_sum])  # (2, m)
+            pairs = jax.lax.all_gather(pair, "data")  # (shards, 2, m)
+            maxes = pairs[:, 0, :]
+            sums = pairs[:, 1, :]
+            gmax = jnp.max(maxes, axis=0)
+            total = jnp.sum(sums * jnp.exp(maxes - gmax[None, :]), axis=0)
+        else:
+            gmax = jax.lax.pmax(local_max, "data")
+            total = jax.lax.psum(
+                jnp.sum(jnp.exp(logits - gmax[:, None]), axis=1), "data"
+            )
         ll = gmax + jnp.log(total) + ln
         return jnp.sum(ll)
 
