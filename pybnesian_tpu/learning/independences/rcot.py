@@ -198,6 +198,24 @@ def _batched_kernels():
 
 
 _batched = None
+_pack = None
+
+
+def _pack_fetch(sta_d, eigs_d):
+    """Fetch (statistics, eigenvalues) as ONE D2H transfer: dispatches are
+    async on this backend but every separate np.asarray pays a ~25 ms
+    tunnel round trip, so packing on device halves the per-chunk sync
+    cost."""
+    global _pack
+    if _pack is None:
+        import jax
+        import jax.numpy as jnp
+
+        _pack = jax.jit(
+            lambda s, e: jnp.concatenate([s[:, None], e], axis=1)
+        )
+    arr = np.asarray(_pack(sta_d, eigs_d), np.float64)
+    return arr[:, 0], arr[:, 1:]
 
 
 def _get_batched():
@@ -485,11 +503,10 @@ class RCoT(IndependenceTest):
                 by = rng.uniform(0, two_pi,
                                  (bp, self.num_xy)).astype(np.float32)
                 if size == 0:
-                    ssq, eigs = pair_stats(dev, xc, Wx, bx, yc, Wy, by)
-                    sta = n * np.asarray(ssq, np.float64)
-                    pv = chisq_sum_pvalues_batch(
-                        np.asarray(eigs, np.float64)[:real], sta[:real]
-                    )
+                    ssq_d, eigs_d = pair_stats(dev, xc, Wx, bx, yc, Wy, by)
+                    ssq, eigs = _pack_fetch(ssq_d, eigs_d)
+                    sta = n * ssq
+                    pv = chisq_sum_pvalues_batch(eigs[:real], sta[:real])
                     for j in range(real):
                         out[padded[j][0]] = pv[j]
                     continue
@@ -508,8 +525,7 @@ class RCoT(IndependenceTest):
                 sta_d, eigs_d = fused_z(
                     dev, xc, Wx, bx, yc, Wy, by, zc, zm, Wz, bz
                 )
-                sta = np.asarray(sta_d, np.float64)
-                eigs = np.asarray(eigs_d, np.float64)
+                sta, eigs = _pack_fetch(sta_d, eigs_d)
                 pv = chisq_sum_pvalues_batch(
                     eigs[:real], sta[:real], force_hbe=self.num_z == 1
                 )
