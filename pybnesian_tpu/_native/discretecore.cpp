@@ -29,10 +29,13 @@
 
 namespace {
 
-void bic_range(const int32_t* codes, int64_t n, const int64_t* cards,
-               const int32_t* fam_var, const int32_t* fam_parents,
-               int32_t f_begin, int32_t f_end, int32_t maxp,
-               int64_t max_configs, double* out) {
+// kind 0: BIC (log count ratios + penalty). kind 1: BDe with uniform
+// iss prior alpha = iss / config_space (reference scores/bde.cpp).
+void family_range(const int32_t* codes, int64_t n, const int64_t* cards,
+                  const int32_t* fam_var, const int32_t* fam_parents,
+                  int32_t f_begin, int32_t f_end, int32_t maxp,
+                  int64_t max_configs, int32_t kind, double iss,
+                  double* out) {
     std::vector<int64_t> counts;
     std::vector<const int32_t*> col(1 + maxp);
     std::vector<int64_t> stride(1 + maxp);
@@ -95,6 +98,30 @@ void bic_range(const int32_t* codes, int64_t n, const int64_t* cards,
                 if (ok) { ++counts[idx]; ++total; }
             }
         }
+        const int64_t npc = config_space / k;
+        if (kind == 1) {
+            // BDe: sum over ALL cells/configs — empty cells contribute
+            // lgamma(alpha) which the -space*lgamma(alpha) term cancels,
+            // empty configs contribute 0 (scores/bde.cpp semantics)
+            const double alpha = iss / (double)config_space;
+            const double sum_alpha = alpha * (double)k;
+            const double lg_a = std::lgamma(alpha);
+            const double lg_sa = std::lgamma(sum_alpha);
+            double res = -(double)config_space * lg_a;
+            for (int64_t pc = 0; pc < npc; ++pc) {
+                int64_t tot = 0;
+                const int64_t* row = counts.data() + pc * k;
+                for (int64_t j = 0; j < k; ++j) {
+                    const int64_t c = row[j];
+                    tot += c;
+                    res += c > 0 ? std::lgamma((double)c + alpha) : lg_a;
+                }
+                if (tot > 0)
+                    res += lg_sa - std::lgamma(sum_alpha + (double)tot);
+            }
+            out[f] = res;
+            continue;
+        }
         if (total == 0) {
             // every row null in some family column: route to the caller's
             // fallback tier (which raises, like the host path's log(0))
@@ -103,7 +130,6 @@ void bic_range(const int32_t* codes, int64_t n, const int64_t* cards,
         }
         // ll = sum n_ijk * (log n_ijk - log n_ij); penalty over the FULL
         // parent-config space (scores/bic.cpp:66-97)
-        const int64_t npc = config_space / k;
         double ll = 0.0;
         for (int64_t pc = 0; pc < npc; ++pc) {
             int64_t tot = 0;
@@ -453,15 +479,15 @@ double hc_quantize(double d) {
 }
 
 // BIC local score of one family; NaN on config-space overflow.
-double bic_one(const int32_t* codes, int64_t n, const int64_t* cards,
-               int32_t var, const int32_t* parents, int32_t np_,
-               int64_t max_configs) {
+double score_one(const int32_t* codes, int64_t n, const int64_t* cards,
+                 int32_t var, const int32_t* parents, int32_t np_,
+                 int64_t max_configs, int32_t kind, double iss) {
     double out;
     // reuse the batched kernel on a single family
     std::vector<int32_t> fp(np_ > 0 ? np_ : 1, -1);
     for (int j = 0; j < np_; ++j) fp[j] = parents[j];
-    bic_range(codes, n, cards, &var, fp.data(), 0, 1,
-              np_ > 0 ? np_ : 1, max_configs, &out);
+    family_range(codes, n, cards, &var, fp.data(), 0, 1,
+                 np_ > 0 ? np_ : 1, max_configs, kind, iss, &out);
     return out;
 }
 
@@ -502,6 +528,8 @@ struct HcState {
     const int32_t* node_cols;  // model node -> code-block column
     int d;
     int64_t max_configs;
+    int32_t kind;  // 0 BIC, 1 BDe
+    double iss;
     HcGraph g;
     double lc[64];         // local score cache per node
     double delta[64 * 64];
@@ -517,8 +545,8 @@ struct HcState {
             m &= m - 1;
             ps[np_++] = node_cols[s];
         }
-        double v = bic_one(codes, n, cards, node_cols[t], ps, np_,
-                           max_configs);
+        double v = score_one(codes, n, cards, node_cols[t], ps, np_,
+                             max_configs, kind, iss);
         if (std::isnan(v)) overflow = true;
         return v;
     }
@@ -565,14 +593,35 @@ void dc_bic_batch(const int32_t* codes, int64_t n, int32_t ncols,
     // column updates both qualify; 2-family cache refreshes do not)
     if (hw >= 2 && F >= 24 && (int64_t)F * n >= 300000) {
         const int32_t mid = F / 2;
-        std::thread t1(bic_range, codes, n, cards, fam_var, fam_parents,
-                       0, mid, maxp, max_configs, out);
-        bic_range(codes, n, cards, fam_var, fam_parents, mid, F, maxp,
-                  max_configs, out);
+        std::thread t1(family_range, codes, n, cards, fam_var, fam_parents,
+                       0, mid, maxp, max_configs, 0, 1.0, out);
+        family_range(codes, n, cards, fam_var, fam_parents, mid, F, maxp,
+                     max_configs, 0, 1.0, out);
         t1.join();
     } else {
-        bic_range(codes, n, cards, fam_var, fam_parents, 0, F, maxp,
-                  max_configs, out);
+        family_range(codes, n, cards, fam_var, fam_parents, 0, F, maxp,
+                     max_configs, 0, 1.0, out);
+    }
+}
+
+// BDe local scores (uniform iss prior) for F discrete families — same
+// contract as dc_bic_batch.
+void dc_bde_batch(const int32_t* codes, int64_t n, int32_t ncols,
+                  const int64_t* cards, const int32_t* fam_var,
+                  const int32_t* fam_parents, int32_t F, int32_t maxp,
+                  int64_t max_configs, double iss, double* out) {
+    (void)ncols;
+    unsigned hw = std::thread::hardware_concurrency();
+    if (hw >= 2 && F >= 24 && (int64_t)F * n >= 300000) {
+        const int32_t mid = F / 2;
+        std::thread t1(family_range, codes, n, cards, fam_var, fam_parents,
+                       0, mid, maxp, max_configs, 1, iss, out);
+        family_range(codes, n, cards, fam_var, fam_parents, mid, F, maxp,
+                     max_configs, 1, iss, out);
+        t1.join();
+    } else {
+        family_range(codes, n, cards, fam_var, fam_parents, 0, F, maxp,
+                     max_configs, 1, iss, out);
     }
 }
 
@@ -637,6 +686,7 @@ int32_t dc_hc(const int32_t* codes, int64_t n, const int64_t* cards,
               const int32_t* node_cols, int32_t d, uint8_t* adj,
               const uint8_t* valid, int32_t max_indegree,
               int64_t max_iters, double epsilon, int64_t max_configs,
+              int32_t score_kind, double iss,
               int32_t* out_ops, int32_t max_ops) {
     if (d > 64) return -1;
     HcState st;
@@ -646,6 +696,8 @@ int32_t dc_hc(const int32_t* codes, int64_t n, const int64_t* cards,
     st.node_cols = node_cols;
     st.d = d;
     st.max_configs = max_configs;
+    st.kind = score_kind;
+    st.iss = iss;
     st.valid = valid;
     st.overflow = false;
     st.g.d = d;

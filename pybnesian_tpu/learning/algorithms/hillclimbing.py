@@ -34,7 +34,7 @@ def _validation_delta_score(model, score, nodes_changed, local_validation):
 def _native_discrete_hc(operators, score, model, max_indegree, max_iters,
                         epsilon):
     """Run the whole hc loop in the native core when the search is a plain
-    discrete-BIC ArcOperatorSet climb (the reference's own hc loop is C++,
+    discrete BIC/BDe ArcOperatorSet climb (the reference's own hc loop is C++,
     hillclimbing.hpp:62-199 + operators.cpp:100-437). Returns the model
     with the learned ops applied, or None when the fast preconditions fail
     (the Python loop runs instead, identical semantics)."""
@@ -44,11 +44,17 @@ def _native_discrete_hc(operators, score, model, max_indegree, max_iters,
     )
     from ..operators import ArcOperatorSet
     from ..scores import discrete_native
+    from ..scores.bde import BDe
     from ..scores.bic import BIC
 
+    if type(score) is BIC:
+        score_kind, iss = 0, 1.0
+    elif type(score) is BDe:
+        score_kind, iss = 1, score.iss
+    else:
+        return None
     if (
         type(operators) is not ArcOperatorSet
-        or type(score) is not BIC
         or isinstance(model, ConditionalBayesianNetwork)
         or not discrete_native.available()
     ):
@@ -86,7 +92,7 @@ def _native_discrete_hc(operators, score, model, max_indegree, max_iters,
         adj[idx[s], idx[tt]] = 1
     ops = discrete_native.hc_discrete(
         block, cards, node_cols, adj, valid, max_indegree, max_iters,
-        epsilon,
+        epsilon, score_kind=score_kind, iss=iss,
     )
     if ops is None:
         return None

@@ -36,6 +36,26 @@ class BDe(Score):
         self.iss = float(iss)
         self._codes_cache = None
         self._host_counter = None
+        self._native_cache = None
+
+    def _native_codes(self):
+        """Cached (ncols, n) int32 code block + cards for the native
+        scoring core (-1 marks nulls) — same layout as BIC's."""
+        if self._native_cache is None:
+            cols = self.df.discrete_columns()
+            block = np.ascontiguousarray(
+                np.stack([
+                    self.df.codes(c).astype(np.int32) for c in cols
+                ])
+                if cols else np.zeros((0, self.df.num_rows), np.int32)
+            )
+            cards = np.array(
+                [self.df.cardinality(c) for c in cols], np.int64
+            )
+            self._native_cache = (
+                {c: i for i, c in enumerate(cols)}, block, cards
+            )
+        return self._native_cache
 
     def data(self):
         return self.df
@@ -112,11 +132,40 @@ class BDe(Score):
         for i, (v, ps, nt) in enumerate(norm):
             if i not in set(disc_idx):
                 out[i] = self.local_score_node_type(model, nt, v, ps)
-        if disc_idx and len(disc_idx) * self.df.num_rows < 2_000_000:
-            # latency-dominated batch: host counting beats a device trip
-            for i in disc_idx:
-                v, ps, nt = norm[i]
-                out[i] = self.local_score_node_type(model, nt, v, ps)
+        if disc_idx and len(disc_idx) * self.df.num_rows < 10_000_000:
+            # latency-dominated batch: the native counting tier beats a
+            # device trip (adaptive dispatch, same crossover as BIC's)
+            from . import discrete_native
+
+            if discrete_native.available():
+                pos, block, cards = self._native_codes()
+                F = len(disc_idx)
+                maxp = max(
+                    (len(norm[i][1]) for i in disc_idx), default=0
+                )
+                maxp = max(maxp, 1)
+                fam_var = np.array(
+                    [pos[norm[i][0]] for i in disc_idx], np.int32
+                )
+                fam_parents = np.full((F, maxp), -1, np.int32)
+                for f, i in enumerate(disc_idx):
+                    for j, p in enumerate(norm[i][1]):
+                        fam_parents[f, j] = pos[p]
+                scores = discrete_native.bde_batch(
+                    block, cards, fam_var, fam_parents, self.iss
+                )
+                bad = np.isnan(scores)
+                for f, i in enumerate(disc_idx):
+                    out[i] = (
+                        self.local_score_node_type(model, norm[i][2],
+                                                   norm[i][0], norm[i][1])
+                        if bad[f]
+                        else scores[f]
+                    )
+            else:
+                for i in disc_idx:
+                    v, ps, nt = norm[i]
+                    out[i] = self.local_score_node_type(model, nt, v, ps)
         elif disc_idx:
             pos, codes, cards_dev, cards_np = self._device_codes()
             F = len(disc_idx)

@@ -13,7 +13,7 @@ import os
 
 import numpy as np
 
-__all__ = ["available", "bic_batch", "bic_addcand", "hc_discrete", "chi2_batch", "gtest_batch", "grouped_moments"]
+__all__ = ["available", "bic_batch", "bic_addcand", "hc_discrete", "chi2_batch", "gtest_batch", "grouped_moments", "bde_batch"]
 
 _LIB = None
 _TRIED = False
@@ -55,9 +55,18 @@ def _load():
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32, ctypes.c_int64,
-            ctypes.c_double, ctypes.c_int64,
+            ctypes.c_double, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_double,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
         ]
+        lib.dc_bde_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int64, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.dc_bde_batch.restype = None
         lib.dc_hc.restype = ctypes.c_int32
         lib.dc_chi2_batch.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
@@ -154,10 +163,12 @@ def bic_addcand(codes_block: np.ndarray, cards: np.ndarray, tcol: int,
 
 def hc_discrete(codes_block: np.ndarray, cards: np.ndarray,
                 node_cols: np.ndarray, adj: np.ndarray, valid: np.ndarray,
-                max_indegree: int, max_iters: int, epsilon: float):
-    """Run the full discrete-BIC ArcOperatorSet hill-climbing natively
-    (dc_hc). Returns the (kind, s, t) op list, or None when the native
-    loop aborts (config-space overflow — caller runs the generic path).
+                max_indegree: int, max_iters: int, epsilon: float,
+                score_kind: int = 0, iss: float = 1.0):
+    """Run the full discrete ArcOperatorSet hill-climbing natively
+    (dc_hc; score_kind 0 = BIC, 1 = BDe with the given iss). Returns the
+    (kind, s, t) op list, or None when the native loop aborts
+    (config-space overflow — caller runs the generic path).
     kind: 0 AddArc(s, t), 1 RemoveArc(s, t), 2 FlipArc(s, t)."""
     lib = _load()
     assert lib is not None
@@ -182,6 +193,8 @@ def hc_discrete(codes_block: np.ndarray, cards: np.ndarray,
         int(max_iters),
         float(epsilon),
         MAX_CONFIGS,
+        int(score_kind),
+        float(iss),
         out_ops.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         max_ops,
     )
@@ -281,3 +294,31 @@ def grouped_moments(vals: np.ndarray, idx: np.ndarray, valid: np.ndarray,
         sq.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
     )
     return counts, sums, sq
+
+
+def bde_batch(codes_block: np.ndarray, cards: np.ndarray,
+              fam_var: np.ndarray, fam_parents: np.ndarray,
+              iss: float) -> np.ndarray:
+    """BDe local scores (uniform iss prior) for F families — same contract
+    as :func:`bic_batch`; NaN marks config-space overflow."""
+    lib = _load()
+    assert lib is not None
+    ncols, n = codes_block.shape
+    F, maxp = fam_parents.shape
+    out = np.empty(F, np.float64)
+    lib.dc_bde_batch(
+        codes_block.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n, ncols,
+        np.ascontiguousarray(cards, np.int64).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int64)
+        ),
+        np.ascontiguousarray(fam_var, np.int32).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int32)
+        ),
+        np.ascontiguousarray(fam_parents, np.int32).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int32)
+        ),
+        F, maxp, MAX_CONFIGS, float(iss),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    return out

@@ -95,3 +95,42 @@ def test_callback_and_patience_use_python_loop():
         ArcOperatorSet(), score, model, patience=1, max_iters=4
     )
     assert learned.num_arcs() >= 0  # ran the generic loop without error
+
+
+@pytest.mark.skipif(not discrete_native.available(), reason="no toolchain")
+def test_native_hc_bde_matches_python_loop():
+    from pybnesian_tpu import BDe
+
+    for iss, seed in ((1.0, 7), (4.0, 8)):
+        df = _disc_df(seed=seed)
+        score = BDe(df, iss=iss)
+        model = DiscreteBN(list(df.columns))
+        native = GreedyHillClimbing().estimate(
+            ArcOperatorSet(), score, model, max_iters=10
+        )
+        orig = hcmod._native_discrete_hc
+        hcmod._native_discrete_hc = lambda *a, **k: None
+        try:
+            python = GreedyHillClimbing().estimate(
+                ArcOperatorSet(), score, model, max_iters=10
+            )
+        finally:
+            hcmod._native_discrete_hc = orig
+        assert sorted(native.arcs()) == sorted(python.arcs())
+
+
+@pytest.mark.skipif(not discrete_native.available(), reason="no toolchain")
+def test_native_bde_batch_matches_serial():
+    from pybnesian_tpu import BDe, DiscreteFactorType
+
+    df = _disc_df(seed=9)
+    score = BDe(df, iss=2.5)
+    model = DiscreteBN(list(df.columns))
+    fams = [("v3", ["v1", "v5"]), ("v0", []), ("v2", ["v7"]),
+            ("v1", ["v0", "v2", "v3"])]
+    batch = score.local_score_batch(model, fams)
+    serial = np.array([
+        score.local_score_node_type(model, DiscreteFactorType(), v, ps)
+        for v, ps in fams
+    ])
+    np.testing.assert_allclose(batch, serial, rtol=1e-10)
