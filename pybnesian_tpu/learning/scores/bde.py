@@ -16,7 +16,6 @@ from ...factors.discrete import (
     DiscreteFactorType,
     HostJointCounter,
     create_cardinality_strides,
-    joint_counts,
 )
 from .base import Score
 

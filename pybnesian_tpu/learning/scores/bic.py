@@ -18,7 +18,6 @@ from ...factors.discrete import (
     DiscreteFactorType,
     HostJointCounter,
     create_cardinality_strides,
-    joint_counts,
 )
 from ...factors.lineargaussian import LinearGaussianCPDType
 from ...learning.parameters import mle_lineargaussian
