@@ -89,7 +89,8 @@ class MutualInformation(IndependenceTest):
             if x in disc and y in disc and all(zv in disc for zv in zs)
         ]
         out = np.empty(len(triples))
-        rest = [i for i in range(len(triples)) if i not in set(nat)]
+        nat_set = set(nat)
+        rest = [i for i in range(len(triples)) if i not in nat_set]
         for i in rest:
             x, y, zs = triples[i]
             out[i] = self.pvalue(x, y, *zs)

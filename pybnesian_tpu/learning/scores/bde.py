@@ -128,8 +128,9 @@ class BDe(Score):
             and self.df.is_discrete(v)
             and all(self.df.is_discrete(p) for p in ps)
         ]
+        disc_set = set(disc_idx)
         for i, (v, ps, nt) in enumerate(norm):
-            if i not in set(disc_idx):
+            if i not in disc_set:
                 out[i] = self.local_score_node_type(model, nt, v, ps)
         if disc_idx and len(disc_idx) * self.df.num_rows < 10_000_000:
             # latency-dominated batch: the native counting tier beats a
