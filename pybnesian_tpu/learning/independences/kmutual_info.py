@@ -104,7 +104,7 @@ class KMutualInformation(IndependenceTest):
         from ...models.base import _lgfast_mod
 
         mod = _lgfast_mod()
-        if mod is not None:
+        if mod is not None and neighbors.shape[1] > 0:
             out = np.empty((self.samples, len(xr)))
             mod.lgf_local_shuffle(
                 np.ascontiguousarray(xr),
